@@ -1,0 +1,262 @@
+"""Core layer library: conv blocks, CSP layers, SPP — TPU-native flax modules.
+
+Capability parity with the reference layer library
+(/root/reference/models/layers/network_blocks.py:7-175,
+ activation.py:5-27, normalization.py:4-13), re-designed for TPU:
+
+  * NHWC layout (XLA's preferred conv layout on TPU — keeps the channel dim
+    on the 128-lane axis so convs map onto the MXU without transposes).
+  * Focus (space-to-depth) is expressed as reshape/transpose so XLA lowers it
+    to a single relayout instead of four strided slices + concat.
+  * Max-pool SPP uses `lax.reduce_window`, which XLA fuses with the
+    surrounding 1x1 convs.
+  * BatchNorm uses eps=1e-3 and running-average momentum 0.97 (equivalent to
+    the reference's torch momentum of 0.03, normalization.py:8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# BN constants matching reference normalization.py:8 (torch: eps=1e-3, momentum=0.03).
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.97  # flax momentum = 1 - torch momentum
+
+
+def get_activation(name: str | None = "silu") -> Callable[[jax.Array], jax.Array]:
+    """Activation factory (reference activation.py:5-27)."""
+    if name is None or name == "none" or name is False:
+        return lambda x: x
+    acts = {
+        "silu": nn.silu,
+        "relu": nn.relu,
+        "lrelu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
+        "hswish": nn.hard_swish,
+        "hsigmoid": nn.hard_sigmoid,
+        "gelu": nn.gelu,
+        "sigmoid": nn.sigmoid,
+        "identity": lambda x: x,
+    }
+    if name not in acts:
+        raise ValueError(f"Unsupported activation: {name}")
+    return acts[name]
+
+
+class ConvBlock(nn.Module):
+    """Conv2D -> normalization -> activation (reference BaseConv, network_blocks.py:7-40).
+
+    On TPU the conv+BN+SiLU trio fuses into one XLA op cluster; at inference
+    time BN folds into the conv (see `pl_yolo_tpu.utils.fuse.fuse_conv_bn`).
+    """
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    groups: int = 1
+    padding: int | None = None
+    use_bias: bool = False
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = (self.ksize - 1) // 2 if self.padding is None else self.padding
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.ksize, self.ksize),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+        if self.norm == "bn":
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                name="bn",
+            )(x)
+        elif self.norm == "ln":
+            x = nn.LayerNorm(name="ln")(x)
+        elif self.norm not in (None, "none"):
+            raise ValueError(f"Unsupported norm: {self.norm}")
+        return get_activation(self.act)(x)
+
+
+class DWConvBlock(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 conv pair (reference DWConv-style path
+    used by the nano/tiny depthwise configs)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        x = ConvBlock(
+            in_ch, ksize=self.ksize, stride=self.stride, groups=in_ch,
+            norm=self.norm, act=self.act, name="dconv",
+        )(x, train)
+        return ConvBlock(
+            self.out_channels, ksize=1, stride=1, norm=self.norm, act=self.act,
+            name="pconv",
+        )(x, train)
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """2x2 space-to-depth, channel order matching the reference Focus concat
+    order (top-left, bottom-left, top-right, bottom-right;
+    network_blocks.py:50-64) translated to NHWC."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    # (b, h2, w2, wsub, hsub, c): reference order indexes [::2/1::2 rows, ::2/1::2 cols]
+    # as (top_left, bot_left, top_right, bot_right) = (row, col) in ((0,0),(1,0),(0,1),(1,1)),
+    # i.e. column-major over the 2x2 patch -> put the col axis before the row axis.
+    x = x.transpose(0, 1, 3, 4, 2, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference Focus, network_blocks.py:43-65)."""
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = space_to_depth(x)
+        return ConvBlock(
+            self.out_channels, ksize=self.ksize, stride=self.stride,
+            norm=self.norm, act=self.act, name="conv",
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 residual bottleneck (reference network_blocks.py:68-91)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        hidden = int(self.out_channels * self.expansion)
+        y = ConvBlock(hidden, ksize=1, stride=1, norm=self.norm, act=self.act,
+                      name="conv1")(x, train)
+        conv2 = DWConvBlock if self.depthwise else ConvBlock
+        y = conv2(self.out_channels, ksize=3, stride=1, norm=self.norm,
+                  act=self.act, name="conv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial layer (reference network_blocks.py:94-131):
+    split into two 1x1 branches, run `num_bottle` bottlenecks on one,
+    concat, fuse with a 1x1."""
+
+    out_channels: int
+    num_bottle: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        hidden = int(self.out_channels * self.expansion)
+        x1 = ConvBlock(hidden, ksize=1, norm=self.norm, act=self.act,
+                       name="conv1")(x, train)
+        x2 = ConvBlock(hidden, ksize=1, norm=self.norm, act=self.act,
+                       name="conv2")(x, train)
+        for i in range(self.num_bottle):
+            x1 = Bottleneck(
+                hidden, shortcut=self.shortcut, expansion=1.0,
+                depthwise=self.depthwise, norm=self.norm, act=self.act,
+                name=f"m{i}",
+            )(x1, train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return ConvBlock(self.out_channels, ksize=1, norm=self.norm,
+                         act=self.act, name="conv3")(x, train)
+
+
+def max_pool_same(x: jax.Array, ksize: int) -> jax.Array:
+    """Stride-1 max pool with SAME padding (reference nn.MaxPool2d(ks, 1, ks//2))."""
+    pad = ksize // 2
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, ksize, ksize, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=[(0, 0), (pad, pad), (pad, pad), (0, 0)],
+    )
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling (reference network_blocks.py:134-155)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        hidden = x.shape[-1] // 2
+        x = ConvBlock(hidden, ksize=1, norm=self.norm, act=self.act,
+                      name="conv1")(x, train)
+        pools = [max_pool_same(x, ks) for ks in self.kernel_sizes]
+        x = jnp.concatenate([x] + pools, axis=-1)
+        # Reference conv2 omits norm (network_blocks.py:149 passes act only).
+        return ConvBlock(self.out_channels, ksize=1, norm=None, act=self.act,
+                         name="conv2")(x, train)
+
+
+class SPPCSPC(nn.Module):
+    """CSP-style SPP used by the YOLOv7 neck (reference network_blocks.py:158-175)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c2 = self.out_channels
+        kw = dict(norm=self.norm, act=self.act)
+        x1 = ConvBlock(c2, ksize=1, name="cv1", **kw)(x, train)
+        x1 = ConvBlock(c2, ksize=3, name="cv3", **kw)(x1, train)
+        x1 = ConvBlock(c2, ksize=1, name="cv4", **kw)(x1, train)
+        pools = [max_pool_same(x1, ks) for ks in self.kernel_sizes]
+        y1 = jnp.concatenate([x1] + pools, axis=-1)
+        y1 = ConvBlock(c2, ksize=1, name="cv5", **kw)(y1, train)
+        y1 = ConvBlock(c2, ksize=3, name="cv6", **kw)(y1, train)
+        y2 = ConvBlock(c2, ksize=1, name="cv2", **kw)(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBlock(c2, ksize=1, name="cv7", **kw)(y, train)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample (reference nn.Upsample(scale_factor=2),
+    pafpn_csp.py:22) — expressed as broadcast+reshape, which XLA fuses."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

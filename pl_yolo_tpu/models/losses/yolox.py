@@ -1,0 +1,266 @@
+"""YOLOX loss: grid decode + SimOTA label assignment + GIoU/BCE losses.
+
+Capability parity with reference models/losses/yolox/yolox_loss.py:7-378,
+re-architected for TPU:
+
+  * The reference runs a *per-image Python loop* with data-dependent shapes
+    (boolean-mask gathers, per-gt sorts; yolox_loss.py:54-139,341-348). Here
+    SimOTA is ONE fixed-shape batched computation, vmapped over the batch:
+    all [M, A] cost/IoU matrices are dense and masked by validity, so the
+    whole loss jit-compiles once and runs on-chip.
+  * dynamic-k selection uses lax.top_k over the cost row (k <= 10 because
+    dynamic_k = trunc(sum of top-10 IoUs) <= 10) instead of per-gt sorts.
+  * The cls BCE cost uses the one-hot decomposition
+        sum_c BCE(p_c, onehot_c) = S - log p_cls + log(1 - p_cls),
+        S = -sum_c log(1 - p_c)
+    turning the reference's [M, A, C] tensor (yolox_loss.py:88-101) into an
+    [A, C] pass plus [M, A] gathers.
+
+Grid semantics: anchor a at (row y, col x) of a level has shifts (x, y) and
+decodes as xy = (raw_xy + (x, y)) * stride, wh = exp(raw_wh) * stride. This
+matches the reference eval decoder (yolox_decoder.py:29, indexing='ij') and
+official YOLOX; the reference train-path meshgrid (yolox_loss.py:198,
+indexing='xy') is equivalent only for square feature maps — a known
+reference bug we do not copy (SURVEY.md §"Known reference bugs").
+
+Eval mode returns [B, A, 5+C] with sigmoid(obj/cls) and xyxy boxes
+(yolox_loss.py:25-36).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.boxes import cxcywh2xyxy, iou_loss, pairwise_iou
+
+# Additive penalties for masked-out cost entries. CENTER_PENALTY matches the
+# reference's soft penalty for candidates outside box&center (yolox_loss.py:107);
+# INVALID_PENALTY excludes non-candidate anchors / invalid gts entirely.
+CENTER_PENALTY = 100000.0
+INVALID_PENALTY = 1e9
+
+
+class DecodeOut(NamedTuple):
+    preds: jax.Array          # [B, A, 5+C] decoded (cxcywh abs, obj/cls logits)
+    ori_boxes: jax.Array      # [B, A, 4] raw reg outputs (for L1 loss)
+    x_shifts: jax.Array       # [A]
+    y_shifts: jax.Array       # [A]
+    strides: jax.Array        # [A]
+
+
+def yolox_decode(outputs: Sequence[jax.Array], strides: Sequence[int]) -> DecodeOut:
+    """Decode per-level NHWC head maps [B,H,W,(5+C)] into flat predictions.
+
+    Mirrors YOLOXLoss.decode (yolox_loss.py:175-228) with 'ij' grid indexing.
+    """
+    preds, oris, xs, ys, ss = [], [], [], [], []
+    for level, stride in zip(outputs, strides):
+        b, h, w, c = level.shape
+        flat = level.reshape(b, h * w, c)
+        ori = flat[..., :4]
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=flat.dtype),
+                              jnp.arange(w, dtype=flat.dtype), indexing="ij")
+        gx = gx.reshape(-1)
+        gy = gy.reshape(-1)
+        xy = (flat[..., :2] + jnp.stack([gx, gy], axis=-1)[None]) * stride
+        wh = jnp.exp(flat[..., 2:4]) * stride
+        preds.append(jnp.concatenate([xy, wh, flat[..., 4:]], axis=-1))
+        oris.append(ori)
+        xs.append(gx)
+        ys.append(gy)
+        ss.append(jnp.full((h * w,), stride, dtype=flat.dtype))
+    return DecodeOut(
+        preds=jnp.concatenate(preds, axis=1),
+        ori_boxes=jnp.concatenate(oris, axis=1),
+        x_shifts=jnp.concatenate(xs),
+        y_shifts=jnp.concatenate(ys),
+        strides=jnp.concatenate(ss),
+    )
+
+
+def yolox_eval_decode(outputs: Sequence[jax.Array], strides: Sequence[int]) -> jax.Array:
+    """Eval branch (yolox_loss.py:25-36): sigmoid obj/cls, boxes as xyxy."""
+    d = yolox_decode(outputs, strides)
+    boxes = cxcywh2xyxy(d.preds[..., :4])
+    scores = jax.nn.sigmoid(d.preds[..., 4:])
+    return jnp.concatenate([boxes, scores], axis=-1)
+
+
+def _bce_logits(logits, targets):
+    """BCE with logits, elementwise (torch BCEWithLogitsLoss reduction='none')."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+class AssignOut(NamedTuple):
+    fg_mask: jax.Array             # [A] bool — anchor is a matched foreground
+    matched_gt: jax.Array          # [A] int32 — index of matched gt (valid where fg)
+    pred_ious: jax.Array           # [A] IoU with matched gt
+    num_fg: jax.Array              # [] float
+    num_gt: jax.Array              # [] float
+
+
+def simota_assign(
+    gt_boxes: jax.Array,      # [M, 4] cxcywh (abs pixels)
+    gt_classes: jax.Array,    # [M] int32
+    gt_valid: jax.Array,      # [M] bool
+    pred_boxes: jax.Array,    # [A, 4] cxcywh decoded
+    obj_logits: jax.Array,    # [A]
+    cls_logits: jax.Array,    # [A, C]
+    x_shifts: jax.Array,      # [A]
+    y_shifts: jax.Array,      # [A]
+    strides: jax.Array,       # [A]
+    center_radius: float = 2.5,
+) -> AssignOut:
+    """SimOTA for ONE image, fully fixed-shape (vmap over batch).
+
+    Reference: get_in_boxes_info (yolox_loss.py:231-315), cost build
+    (:84-108), dynamic_k_matching (:318-370).
+    """
+    num_classes = cls_logits.shape[-1]
+    xc = (x_shifts + 0.5) * strides                      # [A] anchor centers
+    yc = (y_shifts + 0.5) * strides
+
+    gx, gy, gw, gh = (gt_boxes[:, 0], gt_boxes[:, 1], gt_boxes[:, 2], gt_boxes[:, 3])
+    # in-box test (yolox_loss.py:249-281)
+    l = xc[None, :] - (gx - 0.5 * gw)[:, None]
+    r = (gx + 0.5 * gw)[:, None] - xc[None, :]
+    t = yc[None, :] - (gy - 0.5 * gh)[:, None]
+    b = (gy + 0.5 * gh)[:, None] - yc[None, :]
+    is_in_box = (jnp.minimum(jnp.minimum(l, r), jnp.minimum(t, b)) > 0.0)
+    # in-center test, radius 2.5 strides (yolox_loss.py:284-307)
+    rad = center_radius * strides[None, :]
+    cl = xc[None, :] - (gx[:, None] - rad)
+    cr = (gx[:, None] + rad) - xc[None, :]
+    ct = yc[None, :] - (gy[:, None] - rad)
+    cb = (gy[:, None] + rad) - yc[None, :]
+    is_in_center = (jnp.minimum(jnp.minimum(cl, cr), jnp.minimum(ct, cb)) > 0.0)
+
+    valid = gt_valid[:, None]
+    is_in_box = is_in_box & valid
+    is_in_center = is_in_center & valid
+    fg_cand = jnp.any(is_in_box | is_in_center, axis=0)       # [A]
+    in_box_and_center = is_in_box & is_in_center              # [M, A]
+
+    # pairwise IoU (stop-grad; the assignment is not differentiated, :68)
+    pair_iou = pairwise_iou(cxcywh2xyxy(gt_boxes), cxcywh2xyxy(pred_boxes))
+    pair_iou = jnp.where(valid & fg_cand[None, :], pair_iou, 0.0)
+    iou_cost = -jnp.log(pair_iou + 1e-8)
+
+    # cls cost via one-hot BCE decomposition (see module docstring)
+    p = jnp.sqrt(jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(obj_logits)[:, None])
+    p = jnp.clip(p, 1e-8, 1.0 - 1e-8)                         # [A, C]
+    log_p = jnp.log(p)
+    log_1mp = jnp.log1p(-p)
+    s_all = -jnp.sum(log_1mp, axis=-1)                        # [A]
+    cls_idx = jnp.clip(gt_classes, 0, num_classes - 1)
+    # gather per-gt class column -> [M, A]
+    sel_log_p = log_p[:, cls_idx].T
+    sel_log_1mp = log_1mp[:, cls_idx].T
+    cls_cost = s_all[None, :] - sel_log_p + sel_log_1mp
+
+    cost = (cls_cost + 3.0 * iou_cost
+            + CENTER_PENALTY * (~in_box_and_center)
+            + INVALID_PENALTY * (~(valid & fg_cand[None, :])))
+
+    # dynamic-k (yolox_loss.py:336-340): k = clamp(trunc(sum top-10 IoU), 1)
+    topk_iou, _ = jax.lax.top_k(pair_iou, min(10, pair_iou.shape[-1]))
+    dynamic_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, 10)
+
+    # match the k cheapest anchors per gt: threshold at the k-th smallest cost
+    neg_top, _ = jax.lax.top_k(-cost, 10)                     # [M, 10] (k <= 10)
+    kth_cost = -jnp.take_along_axis(neg_top, dynamic_k[:, None] - 1, axis=1)[:, 0]
+    matching = (cost <= kth_cost[:, None]) & valid & fg_cand[None, :]
+
+    # conflict resolution (yolox_loss.py:352-356): anchors claimed by >1 gt go
+    # to the gt with min cost
+    n_claims = jnp.sum(matching, axis=0)                      # [A]
+    argmin_gt = jnp.argmin(cost, axis=0)                      # [A]
+    only_min = jax.nn.one_hot(argmin_gt, gt_boxes.shape[0], dtype=bool).T
+    matching = jnp.where(n_claims[None, :] > 1, matching & only_min, matching)
+
+    fg_mask = jnp.any(matching, axis=0)
+    matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)
+    pred_ious = jnp.sum(jnp.where(matching, pair_iou, 0.0), axis=0)
+    return AssignOut(
+        fg_mask=fg_mask,
+        matched_gt=matched_gt,
+        pred_ious=pred_ious,
+        num_fg=jnp.sum(fg_mask).astype(jnp.float32),
+        num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+    )
+
+
+def yolox_loss(
+    outputs: Sequence[jax.Array],   # per-level NHWC head maps
+    labels: jax.Array,              # [B, max_labels, 5] = [cls, cx, cy, w, h]
+    num_classes: int,
+    strides: Sequence[int] = (8, 16, 32),
+    use_l1: bool = False,
+) -> dict[str, jax.Array]:
+    """Training loss (yolox_loss.py:38-173): GIoU*5 + obj BCE + cls BCE (+L1),
+    normalized by total foreground count across the batch."""
+    d = yolox_decode(outputs, strides)
+    preds = d.preds
+    bbox_preds = preds[..., :4]
+    obj_logits = preds[..., 4]
+    cls_logits = preds[..., 5:]
+
+    gt_valid = jnp.sum(labels, axis=2) > 0                    # (yolox_loss.py:43)
+    gt_classes = labels[..., 0].astype(jnp.int32)
+    gt_boxes = labels[..., 1:5]
+
+    assign = jax.vmap(
+        functools.partial(simota_assign),
+        in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
+    )(
+        jax.lax.stop_gradient(gt_boxes), gt_classes, gt_valid,
+        jax.lax.stop_gradient(bbox_preds),
+        jax.lax.stop_gradient(obj_logits),
+        jax.lax.stop_gradient(cls_logits),
+        d.x_shifts, d.y_shifts, d.strides,
+    )
+
+    fg = assign.fg_mask.astype(jnp.float32)                   # [B, A]
+    num_fgs = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
+    num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
+
+    # targets gathered per anchor (fixed shape; masked by fg)
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    reg_targets = take(gt_boxes, assign.matched_gt)           # [B, A, 4]
+    matched_cls = take(gt_classes, assign.matched_gt)         # [B, A]
+    cls_targets = (jax.nn.one_hot(matched_cls, num_classes)
+                   * assign.pred_ious[..., None])             # (yolox_loss.py:123-125)
+
+    loss_iou = jnp.sum(iou_loss(bbox_preds, reg_targets, "giou") * fg) / num_fgs
+    loss_obj = jnp.sum(_bce_logits(obj_logits, fg)) / num_fgs
+    loss_cls = jnp.sum(
+        jnp.sum(_bce_logits(cls_logits, cls_targets), axis=-1) * fg) / num_fgs
+
+    if use_l1:
+        # L1 in grid units (yolox_loss.py:373-378)
+        st = d.strides[None, :]
+        l1_t = jnp.stack([
+            reg_targets[..., 0] / st - d.x_shifts[None, :],
+            reg_targets[..., 1] / st - d.y_shifts[None, :],
+            jnp.log(reg_targets[..., 2] / st + 1e-8),
+            jnp.log(reg_targets[..., 3] / st + 1e-8),
+        ], axis=-1)
+        loss_l1 = jnp.sum(
+            jnp.sum(jnp.abs(d.ori_boxes - l1_t), axis=-1) * fg) / num_fgs
+    else:
+        loss_l1 = jnp.asarray(0.0)
+
+    reg_weight = 5.0                                          # (yolox_loss.py:162)
+    loss = reg_weight * loss_iou + loss_obj + loss_cls + loss_l1
+    return {
+        "loss": loss,
+        "loss_iou": loss_iou,
+        "loss_obj": loss_obj,
+        "loss_cls": loss_cls,
+        "loss_l1": loss_l1,
+        "proportion": jnp.sum(assign.num_fg) / num_gts,
+    }

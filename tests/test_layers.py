@@ -1,0 +1,77 @@
+"""Unit tests for the core layer library (SURVEY.md §4 'Unit')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pl_yolo_tpu.layers.blocks import (
+    ConvBlock, CSPLayer, Focus, SPPBottleneck, SPPCSPC,
+    max_pool_same, space_to_depth, upsample_nearest_2x,
+)
+
+
+def test_space_to_depth_matches_strided_slices():
+    x = np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    got = np.asarray(space_to_depth(jnp.asarray(x)))
+    # reference Focus order (network_blocks.py:50-64): TL, BL, TR, BR
+    tl = x[:, ::2, ::2, :]
+    bl = x[:, 1::2, ::2, :]
+    tr = x[:, ::2, 1::2, :]
+    br = x[:, 1::2, 1::2, :]
+    want = np.concatenate([tl, bl, tr, br], axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_upsample_nearest_2x():
+    x = np.random.default_rng(0).normal(size=(1, 4, 4, 2)).astype(np.float32)
+    got = np.asarray(upsample_nearest_2x(jnp.asarray(x)))
+    want = x.repeat(2, axis=1).repeat(2, axis=2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_max_pool_same_shape_and_values():
+    x = np.random.default_rng(1).normal(size=(1, 8, 8, 4)).astype(np.float32)
+    for ks in (5, 9, 13):
+        y = np.asarray(max_pool_same(jnp.asarray(x), ks))
+        assert y.shape == x.shape
+    # hand-check a 3x3 window center
+    y = np.asarray(max_pool_same(jnp.asarray(x), 3))
+    assert np.isclose(y[0, 3, 3, 0], x[0, 2:5, 2:5, 0].max())
+
+
+def _init_and_run(module, shape=(1, 32, 32, 8)):
+    x = jnp.ones(shape, jnp.float32)
+    variables = module.init(jax.random.key(0), x, False)
+    return module.apply(variables, x, False), variables
+
+
+def test_conv_block_shapes():
+    y, _ = _init_and_run(ConvBlock(16, ksize=3, stride=2))
+    assert y.shape == (1, 16, 16, 16)
+
+
+def test_csp_layer_shapes():
+    y, _ = _init_and_run(CSPLayer(16, num_bottle=2))
+    assert y.shape == (1, 32, 32, 16)
+
+
+def test_focus_halves_spatial():
+    y, _ = _init_and_run(Focus(12, ksize=3), shape=(1, 64, 64, 3))
+    assert y.shape == (1, 32, 32, 12)
+
+
+def test_spp_shapes():
+    y, _ = _init_and_run(SPPBottleneck(16))
+    assert y.shape == (1, 32, 32, 16)
+    y, _ = _init_and_run(SPPCSPC(16))
+    assert y.shape == (1, 32, 32, 16)
+
+
+def test_batchnorm_updates_stats_in_train_mode():
+    m = ConvBlock(4, ksize=1)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 8, 8, 3)), jnp.float32)
+    variables = m.init(jax.random.key(0), x, True)
+    _, updated = m.apply(variables, x, True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["bn"]["mean"]
+    after = updated["batch_stats"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
