@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's (absent) distributed layer (SURVEY.md §2.6).
+
+The reference trains single-GPU (train.py:32-33) with latent, unused
+rank/world_size hooks (models/data/samplers.py:62-66). Here data parallelism
+is first-class: one jit-compiled train step over a `jax.sharding.Mesh`, with
+the batch sharded along the 'data' axis and parameters replicated. XLA/GSPMD
+inserts the gradient all-reduces over ICI, and BatchNorm's batch reductions
+become *global* (cross-replica synced BN) for free.
+
+The mesh carries a 'model' axis too so tensor-parallel sharding of the widest
+convs can be layered in without touching the step function.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int = 1,
+              devices: list | None = None) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim across 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays with leading batch dim) onto the
+    mesh, sharded along 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

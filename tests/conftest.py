@@ -3,7 +3,7 @@ run without a TPU slice (SURVEY.md §4 'Distributed')."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +13,12 @@ import pathlib  # noqa: E402
 import sys  # noqa: E402
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent))  # for oracles.py
+
+import jax  # noqa: E402
+
+# The env var alone is not enough under the 'axon' TPU plugin, which wins
+# platform selection; the config update forces CPU deterministically.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
