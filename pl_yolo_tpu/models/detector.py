@@ -23,9 +23,13 @@ import jax
 from flax import linen as nn
 
 from .backbones.cspdarknet import CSPDarkNet
+from .backbones.eelan import EELAN
 from .losses.yolox import yolox_eval_decode, yolox_loss
+from .losses.yolov7 import yolov7_eval_decode, yolov7_loss
 from .necks.csppafpn import CSPPAFPN
+from .necks.yolov7_neck import YOLOv7NECK
 from .heads.decoupled_head import DecoupledHead
+from .heads.implicit_head import ImplicitHead
 
 
 class OneStageDetector(nn.Module):
@@ -79,17 +83,48 @@ def _decoupled_head(cfg: dict, num_classes: int) -> nn.Module:
     )
 
 
+def _eelan(cfg: dict) -> nn.Module:
+    return EELAN(
+        depths=tuple(cfg["depths"]),
+        channels=tuple(cfg["channels"]),
+        outputs=tuple(cfg["outputs"]),
+        norm=cfg.get("norm", "bn"),
+        act=cfg.get("act", "silu"),
+    )
+
+
+def _yolov7neck(cfg: dict) -> nn.Module:
+    return YOLOv7NECK(
+        depths=tuple(cfg["depths"]),
+        in_channels=tuple(cfg["channels"]),
+        use_repconv=bool(cfg.get("use_repconv", False)),
+        norm=cfg.get("norm", "bn"),
+        act=cfg.get("act", "silu"),
+    )
+
+
+def _implicit_head(cfg: dict, num_classes: int) -> nn.Module:
+    return ImplicitHead(
+        num_classes=num_classes,
+        n_anchors=int(cfg.get("num_anchor", 3)),
+        in_channels=tuple(cfg["channels"]),
+    )
+
+
 BACKBONES: dict[str, Callable[[dict], nn.Module]] = {
     "cspdarknet": _cspdarknet,
+    "eelan": _eelan,
 }
 
 NECKS: dict[str, Callable[[dict], nn.Module]] = {
     "csppafpn": _csppafpn,
+    "yolov7neck": _yolov7neck,
     "none": lambda cfg: None,
 }
 
 HEADS: dict[str, Callable[[dict, int], nn.Module]] = {
     "decoupled_head": _decoupled_head,
+    "implicit_head": _implicit_head,
 }
 
 
@@ -112,8 +147,30 @@ def _yolox_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
     )
 
 
+DEFAULT_V7_ANCHORS = (((12, 16), (19, 36), (40, 28)),
+                      ((36, 75), (76, 55), (72, 146)),
+                      ((142, 110), (192, 243), (459, 401)))
+
+
+def _yolov7_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
+    strides = tuple(cfg.get("stride", (8, 16, 32)))
+    anchors = tuple(tuple(tuple(a) for a in lvl)
+                    for lvl in cfg.get("anchors", DEFAULT_V7_ANCHORS))
+    return LossSpec(
+        train_loss=functools.partial(
+            yolov7_loss, num_classes=num_classes, strides=strides,
+            anchors=anchors,
+            label_smoothing=float(cfg.get("label_smoothing", 0.0))),
+        eval_decode=functools.partial(
+            yolov7_eval_decode, strides=strides, anchors=anchors,
+            num_classes=num_classes),
+        strides=strides,
+    )
+
+
 LOSSES: dict[str, Callable[[dict, int], LossSpec]] = {
     "yolox": _yolox_loss_spec,
+    "yolov7": _yolov7_loss_spec,
 }
 
 

@@ -1,0 +1,281 @@
+"""Trainer: the full train / val / test orchestration.
+
+Capability parity with the reference's PL stack — Trainer(train.py:24-50) +
+LitDetection(PL_Modules/pl_detection.py:16-155) — as one explicit class:
+
+  * fit(): epochs x steps with the jitted sharded train step (augmentation,
+    forward/backward, optimizer, EMA all in one device program), loss/LR
+    logging, val every `check_val_every_n_epoch` (default 5, train.py:35),
+    top-2 checkpointing monitored on mAP (train.py:24-29), working resume.
+  * validate(): eval-mode forward with EMA weights (pl_detection.py:68-71),
+    on-device decode+NMS, host-side COCO/VOC evaluation, average
+    inference/NMS wall-time reporting (pl_detection.py:102-104).
+  * test(): configurable conf/NMS thresholds + optional visualization dump
+    (pl_detection.py:121-154).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datamodule import DataModule, build_data
+from ..evaluators.coco_eval import coco_evaluator
+from ..evaluators.format import format_outputs
+from ..evaluators.voc_eval import voc_evaluator
+from ..models.detector import DetectionModel, build_model
+from ..ops.nms import postprocess
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.flops import model_summary
+from ..utils.logger import build_logger
+from ..utils.visualize import coco_visualization
+from .checkpoint import CheckpointManager
+from .optim import build_optimizer
+from .state import TrainState, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: dict,
+        data_cfg: dict,
+        max_epochs: int = 300,
+        check_val_every_n_epoch: int = 5,
+        output_dir: str = "./runs",
+        experiment_name: str | None = None,
+        logger: str = "tb",
+        seed: int = 96,
+        log_every_n_steps: int = 50,
+        save_top_k: int = 2,
+        cache_images: bool = False,
+    ):
+        self.model_cfg = model_cfg
+        self.data_cfg = data_cfg
+        self.max_epochs = max_epochs
+        self.check_val_every = check_val_every_n_epoch
+        self.seed = seed
+        self.log_every = log_every_n_steps
+        name = experiment_name or model_cfg.get("name", "exp")
+        self.out_dir = Path(output_dir) / name
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = build_logger(logger, self.out_dir, "logs")
+
+        # data
+        self.datamodule: DataModule = build_data(data_cfg, seed=seed,
+                                                 cache=cache_images)
+        self.num_classes = self.datamodule.num_classes
+
+        # model
+        self.model: DetectionModel = build_model(model_cfg, self.num_classes)
+
+        # mesh: all devices on 'data' when the batch divides; else 1 device
+        n_dev = len(jax.devices())
+        bs = self.datamodule.train_batch_size
+        if bs % n_dev == 0:
+            self.mesh = make_mesh()
+        else:
+            self.mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        self.ckpt = CheckpointManager(self.out_dir / "checkpoints",
+                                      max_to_keep=save_top_k, monitor="mAP")
+
+        self.state: TrainState | None = None
+        self.best_map = 0.0
+        self.best_map50 = 0.0
+        self._steps_per_epoch = None
+        self.use_ema = bool(model_cfg.get("optimizer", {}).get("ema", True))
+
+    # ------------------------------------------------------------------ fit
+
+    def _build_state(self, total_steps: int) -> TrainState:
+        rng = jax.random.key(self.seed)
+        variables = self.model.init(
+            rng, input_size=self.datamodule.train_size,
+            batch_size=1)
+        tx, self._schedule = build_optimizer(
+            self.model_cfg["optimizer"], total_steps)
+        return TrainState.create(variables, tx, use_ema=self.use_ema)
+
+    def fit(self, resume_from: str | None = None, resume: bool = False):
+        self.datamodule.setup("fit")
+        loader = self.datamodule.train_loader()
+        steps_per_epoch = loader.steps_per_epoch
+        self._steps_per_epoch = steps_per_epoch
+        total_steps = steps_per_epoch * self.max_epochs
+        self.state = self._build_state(total_steps)
+
+        start_epoch = 0
+        if resume_from or resume:
+            start_epoch = self._restore(resume_from, resume)
+
+        n_params, flops, summary = model_summary(
+            self.model.module, self.state.raw_variables,
+            input_size=self.datamodule.train_size)
+        print(summary)
+        self.logger.log_hyperparams(
+            {"model": self.model_cfg, "data": self.data_cfg,
+             "params": n_params, "flops": flops})
+
+        step_fn = make_train_step(
+            self.model.module.apply, self.model.loss.train_loss,
+            use_ema=self.use_ema,
+            augment_fn=self._make_augment())
+        rng = jax.random.key(self.seed + 1)
+
+        with self.mesh:
+            step = 0
+            for epoch in range(start_epoch, self.max_epochs):
+                t0 = time.time()
+                losses = None
+                for i in range(steps_per_epoch):
+                    batch = next(loader)
+                    sharded = shard_batch(self.mesh, {
+                        "images": batch["images"],
+                        "labels": batch["labels"]})
+                    rng, step_rng = jax.random.split(rng)
+                    self.state, losses = step_fn(
+                        self.state, sharded["images"], sharded["labels"],
+                        step_rng)
+                    step += 1  # host-side counter: reading state.step would sync
+                    if step % self.log_every == 0:
+                        metrics = {k: float(v) for k, v in losses.items()}
+                        metrics["lr"] = float(self._schedule(step))
+                        self.logger.log_metrics(metrics, step)
+                # epoch-end: one sync to report the last step's losses
+                last_loss = float(losses["loss"]) if losses is not None else float("nan")
+                dt = time.time() - t0
+                ips = steps_per_epoch * self.datamodule.train_batch_size / dt
+                print(f"epoch {epoch}: {dt:.1f}s ({ips:.1f} img/s) "
+                      f"loss={last_loss:.3f}")
+                self.logger.log_metrics({"loss_epoch": last_loss}, step)
+
+                if (epoch + 1) % self.check_val_every == 0 or epoch == self.max_epochs - 1:
+                    ap, ap50 = self.validate()
+                    self.logger.log_metrics({"mAP": ap, "mAP50": ap50},
+                                            int(self.state.step))
+                    if ap > self.best_map:
+                        self.best_map, self.best_map50 = ap, ap50
+                    self._save(epoch, {"mAP": ap, "mAP50": ap50})
+        loader.close()
+        self.ckpt.wait()
+        print(f"Best mAP = {self.best_map:.3f}, best mAP50 = {self.best_map50:.3f}")
+        self.logger.finalize()
+
+    # ------------------------------------------------------------ val/test
+
+    def _make_augment(self):
+        return self.datamodule.make_augment_fn()
+
+    def _eval_fn(self):
+        apply = self.model.module.apply
+        decode = self.model.loss.eval_decode
+
+        @jax.jit
+        def fn(variables, images):
+            return decode(apply(variables, images.astype(jnp.float32), False))
+        return fn
+
+    def _run_eval(self, batches, variables, conf: float, nms: float,
+                  visualize: bool = False, show_dir: str = "./show",
+                  show_score_thr: float = 0.3, dataset=None):
+        eval_fn = self._eval_fn()
+        json_list, det_list = [], []
+        infer_t, nms_t = [], []
+        for batch in batches:
+            t0 = time.time()
+            preds = jax.block_until_ready(
+                eval_fn(variables, jnp.asarray(batch["images"])))
+            t1 = time.time()
+            det = jax.block_until_ready(postprocess(
+                preds, conf_threshold=conf, iou_threshold=nms))
+            t2 = time.time()
+            infer_t.append(t1 - t0)
+            nms_t.append(t2 - t1)
+            jl, dl = format_outputs(
+                det, batch["img_id"], batch["img_h"], batch["img_w"],
+                self.datamodule.val_size, dataset.class_ids,
+                self.num_classes, count=batch.get("count"))
+            json_list += jl
+            det_list += dl
+        if len(infer_t) > 1:  # skip compile step in the average
+            infer_t, nms_t = infer_t[1:], nms_t[1:]
+        print("The average inference time is %.4fs, nms time is %.4fs"
+              % (float(np.mean(infer_t)), float(np.mean(nms_t))))
+        if visualize and dataset is not None:
+            n = coco_visualization(json_list, dataset, out_dir=show_dir,
+                                   score_thr=show_score_thr,
+                                   class_names=self.datamodule.class_names)
+            print(f"wrote {n} visualizations to {show_dir}")
+        return json_list, det_list
+
+    def validate(self, conf: float = 0.01, nms: float = 0.65):
+        if self.datamodule.dataset_val is None:
+            self.datamodule.setup("val")
+        dataset = self.datamodule.dataset_val
+        variables = (self.state.eval_variables if self.state is not None
+                     else None)
+        assert variables is not None, "fit() or load a checkpoint first"
+        json_list, det_list = self._run_eval(
+            self.datamodule.val_batches(), variables, conf, nms,
+            dataset=dataset)
+        ap, ap50, summary = coco_evaluator(json_list, dataset)
+        print(summary)
+        print(f"mAP = {ap:.4f}, mAP50 = {ap50:.4f}")
+        return ap, ap50
+
+    def test(self, conf: float = 0.01, nms: float = 0.65,
+             visualize: bool = False, show_dir: str = "./show",
+             show_score_thr: float = 0.3, use_voc: bool = False):
+        self.datamodule.setup("test")
+        dataset = self.datamodule.dataset_test
+        variables = self.state.eval_variables
+        json_list, det_list = self._run_eval(
+            self.datamodule.test_batches(), variables, conf, nms,
+            visualize=visualize, show_dir=show_dir,
+            show_score_thr=show_score_thr, dataset=dataset)
+        ap, ap50, summary = coco_evaluator(json_list, dataset)
+        print(summary)
+        if use_voc:
+            gt_list = dataset.gt_per_class(self.num_classes)
+            voc_map, report = voc_evaluator(
+                det_list, gt_list, class_names=self.datamodule.class_names)
+            print(report)
+        return ap, ap50
+
+    # --------------------------------------------------------- checkpoints
+
+    def _ckpt_tree(self):
+        s = self.state
+        return {
+            "step": s.step, "params": s.params, "batch_stats": s.batch_stats,
+            "opt_state": s.opt_state, "ema_params": s.ema_params,
+            "ema_batch_stats": s.ema_batch_stats,
+        }
+
+    def _save(self, epoch: int, metrics: dict):
+        self.ckpt.save(int(self.state.step), self._ckpt_tree(), metrics)
+
+    def _restore(self, path: str | None, resume: bool) -> int:
+        """Returns the epoch to continue from."""
+        mgr = self.ckpt if path is None else CheckpointManager(path)
+        restored = mgr.restore(abstract_tree=self._ckpt_tree())
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            ema_params=restored["ema_params"],
+            ema_batch_stats=restored["ema_batch_stats"],
+            **({"step": restored["step"], "opt_state": restored["opt_state"]}
+               if resume else {}))
+        if resume and self._steps_per_epoch:
+            return int(restored["step"]) // self._steps_per_epoch
+        return 0
+
+    def load_weights(self, path: str):
+        """Load params/EMA from a checkpoint directory (weights-only)."""
+        if self.state is None:
+            self.datamodule.setup("val")
+            self.state = self._build_state(total_steps=1000)
+        self._restore(path, resume=False)

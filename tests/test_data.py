@@ -1,0 +1,165 @@
+"""Data pipeline tests: datasets, loader, device-side augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_yolo_tpu.data.augment import (
+    AugmentConfig, bilinear_sample, device_augment, hsv_jitter,
+)
+from pl_yolo_tpu.data.datasets import COCODataset, VOCDataset, letterbox_image
+from pl_yolo_tpu.data.loader import InfiniteSampler, TrainLoader, eval_batches
+
+from synthetic_coco import make_coco, make_voc
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    return make_coco(tmp_path_factory.mktemp("coco"))
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    return make_voc(tmp_path_factory.mktemp("voc"))
+
+
+def test_letterbox_geometry():
+    from PIL import Image
+    img = Image.new("RGB", (200, 100), (255, 0, 0))  # w=200, h=100
+    out, r = letterbox_image(img, (64, 64))
+    assert out.shape == (64, 64, 3)
+    assert abs(r - 64 / 200) < 1e-9
+    # content occupies top-left 32x64, rest is 114-gray
+    assert (out[:32, :64, 0] > 200).all()
+    assert (out[40:, :, :] == 114).all()
+
+
+def test_coco_dataset_contract(coco_root):
+    ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                     img_size=(64, 64), max_labels=10)
+    assert len(ds) == 4
+    img, labels, (h, w), img_id = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert labels.shape == (10, 5)
+    valid = labels.sum(1) > 0
+    assert valid.any()
+    r = min(64 / h, 64 / w)
+    # boxes are inside the letterboxed content area
+    assert (labels[valid, 1] <= w * r + 1e-3).all()
+    assert (labels[valid, 2] <= h * r + 1e-3).all()
+    assert ds.class_ids == [1, 2, 3]
+
+
+def test_coco_ram_cache(coco_root):
+    ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                     img_size=(64, 64), cache=True)
+    a = ds.load_image(1)
+    b = ds.load_image(1)
+    assert a is b  # second hit served from cache
+
+
+def test_voc_dataset_contract(voc_root):
+    ds = VOCDataset(str(voc_root), "ImageSets/Main/train.txt", img_size=(64, 64),
+                    max_labels=8)
+    assert len(ds) == 3
+    img, labels, (h, w), _ = ds[0]
+    assert img.shape == (64, 64, 3)
+    assert (labels.sum(1) > 0).sum() == 1
+
+
+def test_infinite_sampler_sharding():
+    s0 = iter(InfiniteSampler(10, shard_id=0, num_shards=2, seed=5))
+    s1 = iter(InfiniteSampler(10, shard_id=1, num_shards=2, seed=5))
+    a = [next(s0) for _ in range(5)]
+    b = [next(s1) for _ in range(5)]
+    assert sorted(a + b) == list(range(10))  # disjoint cover of epoch 0
+
+
+def test_train_loader_batches(coco_root):
+    ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                     img_size=(64, 64), max_labels=10)
+    loader = TrainLoader(ds, batch_size=2)
+    batch = next(loader)
+    assert batch["images"].shape == (2, 64, 64, 3)
+    assert batch["labels"].shape == (2, 10, 5)
+    loader.close()
+
+
+def test_eval_batches_padding(coco_root):
+    ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                     img_size=(64, 64))
+    batches = list(eval_batches(ds, batch_size=3))
+    assert len(batches) == 2
+    assert batches[0]["count"] == 3
+    assert batches[1]["count"] == 1
+    assert batches[1]["images"].shape[0] == 3  # padded to full batch
+
+
+# ------------------------------------------------------------- device aug
+
+def test_bilinear_sample_identity_and_fill():
+    img = jnp.asarray(np.arange(16 * 16 * 3, dtype=np.float32).reshape(16, 16, 3))
+    ys, xs = jnp.meshgrid(jnp.arange(16.0), jnp.arange(16.0), indexing="ij")
+    out = bilinear_sample(img, xs, ys)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-4)
+    out = bilinear_sample(img, xs + 100.0, ys)
+    assert (np.asarray(out) == 114.0).all()
+
+
+def test_hsv_jitter_roundtrip_bounds(rng):
+    img = jnp.asarray(rng.uniform(0, 255, (16, 16, 3)).astype(np.float32))
+    out = hsv_jitter(jax.random.key(0), img)
+    assert out.shape == img.shape
+    assert float(out.min()) >= -1e-3 and float(out.max()) <= 255.0 + 1e-3
+
+
+def test_device_augment_contract(rng):
+    cfg = AugmentConfig(max_labels=20, mosaic_prob=1.0, mixup_prob=1.0,
+                        hsv_prob=1.0, flip_prob=0.5)
+    B, H, W, M = 4, 64, 64, 10
+    images = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    labels = np.zeros((B, M, 5), np.float32)
+    labels[:, 0] = [1, 32, 32, 30, 30]
+    labels[:, 1] = [0, 16, 16, 12, 12]
+    out_imgs, out_labels = device_augment(
+        jax.random.key(3), images, jnp.asarray(labels), cfg)
+    assert out_imgs.shape == (B, H, W, 3)
+    assert out_labels.shape == (B, 20, 5)
+    ol = np.asarray(out_labels)
+    valid = ol.sum(-1) != 0
+    assert valid.any(), "augmentation should keep some boxes"
+    # boxes within frame
+    assert (ol[valid, 1] >= -1e-3).all() and (ol[valid, 1] <= W + 1e-3).all()
+    assert (ol[valid, 3] > 0).all() and (ol[valid, 4] > 0).all()
+    # valid rows are packed at the front
+    for b in range(B):
+        v = valid[b]
+        if v.any():
+            last_valid = np.max(np.where(v)[0])
+            assert v[:last_valid + 1].all()
+
+
+def test_device_augment_deterministic(rng):
+    cfg = AugmentConfig(max_labels=16)
+    images = jnp.asarray(rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32))
+    labels = np.zeros((4, 8, 5), np.float32)
+    labels[:, 0] = [0, 16, 16, 10, 10]
+    a = device_augment(jax.random.key(7), images, jnp.asarray(labels), cfg)
+    b = device_augment(jax.random.key(7), images, jnp.asarray(labels), cfg)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_device_augment_no_mosaic_passthrough(rng):
+    """With all probs 0 the images pass through untouched and labels are
+    preserved (up to compaction)."""
+    cfg = AugmentConfig(mosaic_prob=0.0, mixup_prob=0.0, hsv_prob=0.0,
+                        flip_prob=0.0, max_labels=8)
+    images = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    labels = np.zeros((2, 8, 5), np.float32)
+    labels[0, 0] = [2, 10, 12, 8, 6]
+    out_imgs, out_labels = device_augment(
+        jax.random.key(0), images, jnp.asarray(labels), cfg)
+    np.testing.assert_allclose(np.asarray(out_imgs), np.asarray(images), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_labels)[0, 0], labels[0, 0], atol=1e-4)

@@ -1,0 +1,194 @@
+"""YOLOv7 family tests: EELAN/neck/head shapes, find-3-positive vs a numpy
+oracle of the reference algorithm, loss finiteness + gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_yolo_tpu.models.backbones.eelan import EELAN
+from pl_yolo_tpu.models.necks.yolov7_neck import YOLOv7NECK, RepConv
+from pl_yolo_tpu.models.heads.implicit_head import ImplicitHead
+from pl_yolo_tpu.models.losses.yolov7 import (
+    _find_positive_candidates, flatten_v7_outputs, yolov7_eval_decode,
+    yolov7_loss,
+)
+
+ANCHORS = (((12, 16), (19, 36), (40, 28)),
+           ((36, 75), (76, 55), (72, 146)),
+           ((142, 110), (192, 243), (459, 401)))
+
+
+def test_eelan_shapes():
+    m = EELAN(depths=(2, 2, 2, 2), channels=(8, 16, 32, 64, 128))
+    x = jnp.ones((1, 128, 128, 3))
+    variables = m.init(jax.random.key(0), x, False)
+    outs = m.apply(variables, x, False)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 128)]
+
+
+def test_v7_neck_and_head_shapes():
+    neck = YOLOv7NECK(depths=(1, 1, 1, 1), in_channels=(64, 128, 128))
+    c3 = jnp.ones((1, 16, 16, 64))
+    c4 = jnp.ones((1, 8, 8, 128))
+    c5 = jnp.ones((1, 4, 4, 128))
+    nv = neck.init(jax.random.key(0), (c3, c4, c5), False)
+    n3, n4, n5 = neck.apply(nv, (c3, c4, c5), False)
+    assert n3.shape == (1, 16, 16, 32)
+    assert n4.shape == (1, 8, 8, 64)
+    assert n5.shape == (1, 4, 4, 128)
+
+    head = ImplicitHead(num_classes=7, n_anchors=3, in_channels=(32, 64, 128))
+    hv = head.init(jax.random.key(0), (n3, n4, n5), False)
+    outs = head.apply(hv, (n3, n4, n5), False)
+    assert outs[0].shape == (1, 16, 16, 3 * 12)
+
+
+def test_repconv_identity_branch_only_when_channels_match():
+    x = jnp.ones((1, 8, 8, 16))
+    m = RepConv(16)
+    v = m.init(jax.random.key(0), x, False)
+    assert "rbr_identity" in v["params"]
+    m2 = RepConv(32)
+    v2 = m2.init(jax.random.key(0), x, False)
+    assert "rbr_identity" not in v2["params"]
+
+
+# ------------------------------------------------- find_3_positive oracle
+
+def oracle_find_positive(gt, shapes, strides, anchors, threshold=4.0):
+    """Reference find_3_positive algorithm (yolov7_loss.py:308-368) in plain
+    numpy, returning the set of (level, anchor, cell_y, cell_x, gt_idx)."""
+    out = set()
+    g = 0.5
+    na = len(anchors[0])
+    for i, ((h, w), stride) in enumerate(zip(shapes, strides)):
+        anc = np.asarray(anchors[i]) / stride
+        for gi_idx, box in enumerate(gt):
+            txy = box[:2] / stride
+            twh = box[2:4] / stride
+            for a in range(na):
+                r = twh / anc[a]
+                if max(np.max(r), np.max(1.0 / r)) >= threshold:
+                    continue
+                gx, gy = txy
+                cells = [(int(gx), int(gy))]
+                if gx % 1 < g and gx > 1:
+                    cells.append((int(gx - 0.5), int(gy)))
+                if ((w - gx) % 1) < g and (w - gx) > 1:
+                    cells.append((int(gx + 0.5), int(gy)))
+                if gy % 1 < g and gy > 1:
+                    cells.append((int(gx), int(gy - 0.5)))
+                if ((h - gy) % 1) < g and (h - gy) > 1:
+                    cells.append((int(gx), int(gy + 0.5)))
+                for cx, cy in cells:
+                    cx = min(max(cx, 0), w - 1)
+                    cy = min(max(cy, 0), h - 1)
+                    out.add((i, a, cy, cx, gi_idx))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_find_positive_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    shapes = ((16, 16), (8, 8), (4, 4))
+    strides = (8, 16, 32)
+    M = 6
+    gt = np.zeros((M, 4), np.float32)
+    gt[:, 0] = rng.uniform(10, 118, M)
+    gt[:, 1] = rng.uniform(10, 118, M)
+    gt[:, 2] = rng.uniform(8, 100, M)
+    gt[:, 3] = rng.uniform(8, 100, M)
+    valid = np.ones(M, bool)
+
+    cells, ok, anchor_ids, level_ids = _find_positive_candidates(
+        jnp.asarray(gt), jnp.asarray(valid), shapes, strides, ANCHORS)
+    got = set()
+    cells = np.asarray(cells)
+    ok = np.asarray(ok)
+    anchor_ids = np.asarray(anchor_ids)
+    level_ids = np.asarray(level_ids)
+    M_, L, na, three, _ = cells.shape
+    for m in range(M_):
+        for li in range(L):
+            for a in range(na):
+                for c in range(three):
+                    if ok[m, li, a, c]:
+                        cx, cy = cells[m, li, a, c]
+                        got.add((int(level_ids[m, li, a, c]),
+                                 int(anchor_ids[m, li, a, c]),
+                                 int(cy), int(cx), m))
+    want = oracle_find_positive(gt, shapes, strides, ANCHORS)
+    # note: the oracle can list BOTH x-neighbors near cell borders only when
+    # both gates fire, which is impossible (j and l are exclusive); sets match
+    assert got == want
+
+
+# -------------------------------------------------------------- loss/decode
+
+def _rand_levels(rng, B=2, C=7, na=3):
+    return [
+        jnp.asarray(rng.normal(0, 0.1, (B, 16, 16, na * (5 + C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, 8, 8, na * (5 + C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, 4, 4, na * (5 + C))).astype(np.float32)),
+    ]
+
+
+def test_v7_eval_decode_contract(rng):
+    levels = _rand_levels(rng)
+    out = yolov7_eval_decode(levels, (8, 16, 32), ANCHORS, 7)
+    A = 3 * (16 * 16 + 8 * 8 + 4 * 4)
+    assert out.shape == (2, A, 12)
+    assert (np.asarray(out[..., 4:]) >= 0).all()
+    assert (np.asarray(out[..., 2]) > np.asarray(out[..., 0])).all()
+
+
+def test_v7_loss_finite_and_grads(rng):
+    levels = _rand_levels(rng)
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[0, 0] = [2, 64, 64, 40, 48]
+    labels[0, 1] = [1, 20, 100, 24, 16]
+    labels[1, 0] = [4, 80, 32, 60, 60]
+    out = yolov7_loss(levels, jnp.asarray(labels), num_classes=7)
+    for k in ("loss", "loss_iou", "loss_obj", "loss_cls", "proportion"):
+        assert np.isfinite(float(out[k])), k
+    assert float(out["proportion"]) >= 1.0  # >=1 anchors per gt
+
+    def f(x):
+        return yolov7_loss([x] + levels[1:], jnp.asarray(labels),
+                           num_classes=7)["loss"]
+    g = jax.grad(f)(levels[0])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_v7_loss_no_gt(rng):
+    levels = _rand_levels(rng)
+    labels = np.zeros((2, 10, 5), np.float32)
+    out = yolov7_loss(levels, jnp.asarray(labels), num_classes=7)
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["loss_iou"]) == 0.0
+    assert float(out["loss_cls"]) == 0.0
+    assert float(out["loss_obj"]) > 0.0  # background obj loss remains
+
+
+def test_yolov7_yaml_builds():
+    from pl_yolo_tpu.models.detector import build_model
+    from pl_yolo_tpu.utils.config import load_config
+    cfg = load_config("pl_yolo_tpu/configs/model/yolov7.yaml")
+    # shrink for test speed
+    cfg["backbone"]["channels"] = [8, 16, 32, 64, 64]
+    cfg["backbone"]["depths"] = [1, 1, 1, 1]
+    cfg["neck"]["channels"] = [32, 64, 64]
+    cfg["neck"]["depths"] = [1, 1, 1, 1]
+    cfg["head"]["channels"] = [16, 32, 64]
+    model = build_model(cfg, num_classes=5)
+    variables = model.init(jax.random.key(0), input_size=(64, 64))
+    outs = model.module.apply(variables, jnp.zeros((1, 64, 64, 3)), False)
+    assert len(outs) == 3
+    assert outs[0].shape[-1] == 3 * 10
+    losses = model.loss.train_loss(outs, jnp.zeros((1, 10, 5)))
+    assert np.isfinite(float(losses["loss"]))
+    dec = model.loss.eval_decode(outs)
+    assert dec.shape[-1] == 10
