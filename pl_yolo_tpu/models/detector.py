@@ -24,12 +24,20 @@ from flax import linen as nn
 
 from .backbones.cspdarknet import CSPDarkNet
 from .backbones.eelan import EELAN
+from .backbones.mobile import CSPMobileNext, ECMNet, MobileNetV3
+from .backbones.shufflenetv2 import ShuffleNetV2
+from .backbones.swin import SwinTransformer
+from .backbones.vit import VisionTransformer
 from .losses.yolox import yolox_eval_decode, yolox_loss
 from .losses.yolov7 import yolov7_eval_decode, yolov7_loss
 from .necks.csppafpn import CSPPAFPN
 from .necks.yolov7_neck import YOLOv7NECK
 from .heads.decoupled_head import DecoupledHead
 from .heads.implicit_head import ImplicitHead
+from .heads.simple_head import SimpleHead
+from .losses.yolov5 import (
+    DEFAULT_V5_ANCHORS, yolov5_eval_decode, yolov5_loss,
+)
 
 
 class OneStageDetector(nn.Module):
@@ -111,20 +119,99 @@ def _implicit_head(cfg: dict, num_classes: int) -> nn.Module:
     )
 
 
+def _staged_mobile(cls):
+    def make(cfg: dict) -> nn.Module:
+        return cls(
+            depths=tuple(cfg["depths"]),
+            channels=tuple(cfg["channels"]),
+            outputs=tuple(cfg["outputs"]),
+            norm=cfg.get("norm", "bn"),
+            act=cfg.get("act", "silu"),
+        )
+    return make
+
+
+def _shufflenetv2(cfg: dict) -> nn.Module:
+    return ShuffleNetV2(
+        channels=tuple(cfg.get("channels", (36, 104, 208, 416))),
+        outputs=tuple(cfg.get("outputs", ("stage2", "stage3", "stage4"))),
+        act=cfg.get("act", "hswish"),
+        use_se=bool(cfg.get("use_se", False)),
+    )
+
+
+def _mobilenetv3(size: str):
+    def make(cfg: dict) -> nn.Module:
+        return MobileNetV3(
+            size=size,
+            outputs=tuple(cfg.get("outputs", ("stage2", "stage3", "stage4"))),
+        )
+    return make
+
+
+def _swin(cfg: dict) -> nn.Module:
+    return SwinTransformer(
+        embed_dim=int(cfg.get("embed_dim", 96)),
+        depths=tuple(cfg.get("depths", (2, 2, 6, 2))),
+        num_heads=tuple(cfg.get("num_heads", (3, 6, 12, 24))),
+        window_size=int(cfg.get("window_size", 7)),
+        mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+        out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+    )
+
+
+def _vit(cfg: dict) -> nn.Module:
+    return VisionTransformer(
+        embed_dim=int(cfg.get("embed_dim", 768)),
+        depth=int(cfg.get("depth", 12)),
+        num_heads=int(cfg.get("num_heads", 12)),
+        patch_size=int(cfg.get("patch_size", 16)),
+        mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+    )
+
+
 BACKBONES: dict[str, Callable[[dict], nn.Module]] = {
     "cspdarknet": _cspdarknet,
     "eelan": _eelan,
+    "cspmobilenext": _staged_mobile(CSPMobileNext),
+    "ecmnet": _staged_mobile(ECMNet),
+    "shufflenetv2": _shufflenetv2,
+    "mobilenetv3s": _mobilenetv3("small"),
+    "mobilenetv3l": _mobilenetv3("large"),
+    "swin_transformer": _swin,
+    "vision_transformer": _vit,
 }
+
+
+def _al_pafpn(cfg: dict) -> nn.Module:
+    from .necks.pafpn_al import AL_PAFPN
+    return AL_PAFPN(
+        depths=tuple(cfg["depths"]),
+        in_channels=tuple(cfg["channels"]),
+        norm=cfg.get("norm", "bn"),
+        act=cfg.get("act", "silu"),
+    )
+
 
 NECKS: dict[str, Callable[[dict], nn.Module]] = {
     "csppafpn": _csppafpn,
+    "al_pafpn": _al_pafpn,
     "yolov7neck": _yolov7neck,
     "none": lambda cfg: None,
 }
 
+def _simple_head(cfg: dict, num_classes: int) -> nn.Module:
+    return SimpleHead(
+        num_classes=num_classes,
+        n_anchors=int(cfg.get("num_anchor", 3)),
+        in_channels=tuple(cfg["channels"]),
+    )
+
+
 HEADS: dict[str, Callable[[dict, int], nn.Module]] = {
     "decoupled_head": _decoupled_head,
     "implicit_head": _implicit_head,
+    "simple_head": _simple_head,
 }
 
 
@@ -168,9 +255,27 @@ def _yolov7_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
     )
 
 
+def _yolov5_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
+    strides = tuple(cfg.get("stride", (8, 16, 32)))
+    anchors = tuple(tuple(tuple(a) for a in lvl)
+                    for lvl in cfg.get("anchors", DEFAULT_V5_ANCHORS))
+    return LossSpec(
+        train_loss=functools.partial(
+            yolov5_loss, num_classes=num_classes, strides=strides,
+            anchors=anchors,
+            anchor_threshold=float(cfg.get("anchor_thre", 4.0)),
+            balance=tuple(cfg.get("balance", (4.0, 1.0, 0.4)))),
+        eval_decode=functools.partial(
+            yolov5_eval_decode, strides=strides, anchors=anchors,
+            num_classes=num_classes),
+        strides=strides,
+    )
+
+
 LOSSES: dict[str, Callable[[dict, int], LossSpec]] = {
     "yolox": _yolox_loss_spec,
     "yolov7": _yolov7_loss_spec,
+    "yolov5": _yolov5_loss_spec,
 }
 
 

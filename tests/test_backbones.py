@@ -1,0 +1,101 @@
+"""Backbone zoo shape tests (golden shape contract per SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pl_yolo_tpu.models.backbones.mobile import CSPMobileNext, ECMNet, MobileNetV3
+from pl_yolo_tpu.models.backbones.shufflenetv2 import ShuffleNetV2
+from pl_yolo_tpu.models.backbones.swin import SwinTransformer
+from pl_yolo_tpu.models.backbones.vit import VisionTransformer
+from pl_yolo_tpu.models.necks.pafpn_al import AL_PAFPN
+
+
+def _run(module, size=64, ch=3):
+    x = jnp.ones((1, size, size, ch))
+    v = module.init(jax.random.key(0), x, False)
+    return module.apply(v, x, False)
+
+
+def test_cspmobilenext_shapes():
+    outs = _run(CSPMobileNext(depths=(1, 1, 1, 1), channels=(8, 16, 32, 64, 128)))
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128)]
+
+
+def test_ecmnet_shapes():
+    outs = _run(ECMNet(depths=(1, 1, 1, 1), channels=(8, 16, 32, 64, 128)))
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128)]
+
+
+@pytest.mark.parametrize("size,chans", [("small", (24, 48, 96)),
+                                        ("large", (40, 80, 160))])
+def test_mobilenetv3_shapes(size, chans):
+    outs = _run(MobileNetV3(size=size), size=128)
+    assert [o.shape[-1] for o in outs] == list(chans)
+    assert [o.shape[1] for o in outs] == [16, 8, 4]  # strides 8/16/32
+
+
+def test_shufflenetv2_shapes():
+    outs = _run(ShuffleNetV2(channels=(24, 48, 96, 192)), size=128)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 16, 48), (1, 8, 8, 96), (1, 4, 4, 192)]
+
+
+def test_swin_multiscale_shapes():
+    m = SwinTransformer(embed_dim=32, depths=(1, 1, 2, 1),
+                        num_heads=(1, 2, 4, 8), window_size=4,
+                        out_indices=(0, 1, 2, 3))
+    outs = _run(m, size=64)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 64), (1, 4, 4, 128), (1, 2, 2, 256)]
+
+
+def test_swin_shifted_window_mask_changes_output():
+    # depths>=2 exercises the shifted (SW-MSA) path
+    m = SwinTransformer(embed_dim=16, depths=(2,), num_heads=(2,),
+                        window_size=4, out_indices=(0,))
+    outs = _run(m, size=32)
+    assert outs[0].shape == (1, 8, 8, 16)
+
+
+def test_vit_pyramid_shapes():
+    m = VisionTransformer(embed_dim=32, depth=2, num_heads=2, patch_size=16)
+    outs = _run(m, size=64)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 8, 8, 16), (1, 4, 4, 32), (1, 2, 2, 32)]
+
+
+def test_al_pafpn_shapes():
+    m = AL_PAFPN(depths=(1, 1, 1, 1), in_channels=(16, 32, 64))
+    c3 = jnp.ones((1, 16, 16, 16))
+    c4 = jnp.ones((1, 8, 8, 32))
+    c5 = jnp.ones((1, 4, 4, 64))
+    v = m.init(jax.random.key(0), (c3, c4, c5), False)
+    n3, n4, n5 = m.apply(v, (c3, c4, c5), False)
+    assert n3.shape == (1, 16, 16, 16)
+    assert n4.shape == (1, 8, 8, 32)
+    assert n5.shape == (1, 4, 4, 64)
+
+
+def test_swin_neck_none_detector_builds():
+    """Swin + neck none + 4-level decoupled head + strides [4,8,16,32]
+    (reference swin_transformer_tiny.yaml)."""
+    from pl_yolo_tpu.models.detector import build_model
+    cfg = {
+        "backbone": {"name": "swin_transformer", "embed_dim": 16,
+                     "depths": [1, 1, 1, 1], "num_heads": [1, 2, 4, 8],
+                     "window_size": 4, "out_indices": [0, 1, 2, 3]},
+        "neck": {"name": "none"},
+        "head": {"name": "decoupled_head", "num_anchor": 1,
+                 "channels": [16, 32, 64, 128], "norm": "bn", "act": "silu"},
+        "loss": {"name": "yolox", "stride": [4, 8, 16, 32]},
+        "optimizer": {"name": "SGD", "learning_rate": 0.01},
+    }
+    model = build_model(cfg, num_classes=4)
+    v = model.init(jax.random.key(0), input_size=(64, 64))
+    outs = model.module.apply(v, jnp.zeros((1, 64, 64, 3)), False)
+    assert len(outs) == 4
+    dec = model.loss.eval_decode(outs)
+    assert dec.shape == (1, 16 * 16 + 8 * 8 + 4 * 4 + 2 * 2, 9)

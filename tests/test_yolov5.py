@@ -1,0 +1,69 @@
+"""YOLOv5 loss/decoder tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pl_yolo_tpu.models.losses.yolov5 import yolov5_eval_decode, yolov5_loss
+
+ANCHORS = (((10, 13), (16, 30), (33, 23)),
+           ((30, 61), (62, 45), (59, 119)),
+           ((116, 90), (156, 198), (373, 326)))
+
+
+def _levels(rng, B=2, C=5, na=3):
+    return [
+        jnp.asarray(rng.normal(0, 0.1, (B, 16, 16, na * (5 + C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, 8, 8, na * (5 + C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, 4, 4, na * (5 + C))).astype(np.float32)),
+    ]
+
+
+def test_v5_loss_finite_and_scaled_by_batch(rng):
+    levels = _levels(rng)
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[0, 0] = [2, 64, 64, 40, 48]
+    labels[1, 0] = [1, 32, 96, 24, 30]
+    out = yolov5_loss(levels, jnp.asarray(labels), num_classes=5)
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["proportion"]) >= 3.0  # 3-positive scheme: >=3 cells/gt
+
+    # halving batch should roughly halve the *bs scaling term structure:
+    out1 = yolov5_loss([l[:1] for l in levels], jnp.asarray(labels[:1]),
+                       num_classes=5)
+    assert np.isfinite(float(out1["loss"]))
+
+
+def test_v5_loss_gradients(rng):
+    levels = _levels(rng, B=1)
+    labels = np.zeros((1, 5, 5), np.float32)
+    labels[0, 0] = [1, 40, 40, 30, 30]
+
+    def f(x):
+        return yolov5_loss([x] + levels[1:], jnp.asarray(labels),
+                           num_classes=5)["loss"]
+    g = jax.grad(f)(levels[0])
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_v5_decode(rng):
+    levels = _levels(rng)
+    out = yolov5_eval_decode(levels, (8, 16, 32), ANCHORS, 5)
+    assert out.shape == (2, 3 * (256 + 64 + 16), 10)
+
+
+def test_yolov5_yaml_builds():
+    from pl_yolo_tpu.models.detector import build_model
+    from pl_yolo_tpu.utils.config import load_config
+    cfg = load_config("pl_yolo_tpu/configs/model/yolov5_s.yaml")
+    cfg["backbone"]["channels"] = [8, 16, 32, 64, 128]
+    cfg["backbone"]["depths"] = [1, 1, 1, 1]
+    cfg["neck"]["channels"] = [32, 64, 128]
+    cfg["head"]["channels"] = [32, 64, 128]
+    model = build_model(cfg, num_classes=20)
+    variables = model.init(jax.random.key(0), input_size=(64, 64))
+    outs = model.module.apply(variables, jnp.zeros((1, 64, 64, 3)), False)
+    labels = np.zeros((1, 10, 5), np.float32)
+    labels[0, 0] = [7, 32, 32, 20, 20]
+    losses = model.loss.train_loss(outs, jnp.asarray(labels))
+    assert np.isfinite(float(losses["loss"]))
