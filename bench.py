@@ -17,10 +17,12 @@ import time
 
 import numpy as np
 
+import os
+
 A100_TRAIN_IPS_ESTIMATE = 250.0  # img/s/chip, documented assumption (see above)
 
-BATCH = 8
-SIZE = 640
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
+SIZE = int(os.environ.get("BENCH_SIZE", 640))
 WARMUP = 3
 ITERS = 10
 

@@ -37,9 +37,13 @@ class DataModule:
         raise NotImplementedError
 
     def train_loader(self, shard_id: int = 0, num_shards: int = 1) -> TrainLoader:
+        from .aug_extra import make_host_augment
+        host_aug = make_host_augment(
+            self.cfg.get("transform", {}), self.dataset_train,
+            self.num_classes, seed=self.seed)
         return TrainLoader(self.dataset_train, self.train_batch_size,
                            shard_id=shard_id, num_shards=num_shards,
-                           seed=self.seed)
+                           seed=self.seed, host_augment=host_aug)
 
     def val_batches(self):
         return eval_batches(self.dataset_val, self.val_batch_size)

@@ -60,9 +60,11 @@ class TrainLoader:
     """Infinite prefetching batch iterator over a DetectionDataset."""
 
     def __init__(self, dataset, batch_size: int, shard_id: int = 0,
-                 num_shards: int = 1, seed: int = 96, prefetch: int = 2):
+                 num_shards: int = 1, seed: int = 96, prefetch: int = 2,
+                 host_augment=None):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.host_augment = host_augment  # optional (img, labels) -> same
         self.sampler = InfiniteSampler(len(dataset), shard_id, num_shards, seed)
         self.steps_per_epoch = max(
             len(dataset) // (batch_size * num_shards), 1)
@@ -76,7 +78,11 @@ class TrainLoader:
         for idx in self.sampler:
             if self._stop.is_set():
                 return
-            batch.append(self.dataset[idx])
+            sample = self.dataset[idx]
+            if self.host_augment is not None:
+                img, labels = self.host_augment(sample[0], sample[1])
+                sample = (img, labels, *sample[2:])
+            batch.append(sample)
             if len(batch) == self.batch_size:
                 out = _collate(batch)
                 batch = []

@@ -16,7 +16,7 @@ Capability parity with the reference layer library
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,24 @@ from flax import linen as nn
 # BN constants matching reference normalization.py:8 (torch: eps=1e-3, momentum=0.03).
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.97  # flax momentum = 1 - torch momentum
+
+# Ambient compute dtype for mixed precision: every ConvBlock (and therefore
+# every conv/BN in the zoo) computes in this dtype while params stay fp32.
+# Set via the model yaml's `dtype:` key (build_model) BEFORE tracing/jitting.
+_DEFAULT_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype) -> None:
+    """dtype: None (fp32), 'bfloat16'/'float32', or a jnp dtype."""
+    global _DEFAULT_COMPUTE_DTYPE
+    if isinstance(dtype, str):
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                 "fp32": None, "bf16": jnp.bfloat16}[dtype]
+    _DEFAULT_COMPUTE_DTYPE = dtype
+
+
+def get_compute_dtype():
+    return _DEFAULT_COMPUTE_DTYPE
 
 
 def get_activation(name: str | None = "silu") -> Callable[[jax.Array], jax.Array]:
@@ -61,9 +79,11 @@ class ConvBlock(nn.Module):
     use_bias: bool = False
     norm: str | None = "bn"
     act: str | None = "silu"
+    dtype: Any = None   # compute dtype (e.g. jnp.bfloat16); params stay fp32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dtype = self.dtype if self.dtype is not None else get_compute_dtype()
         pad = (self.ksize - 1) // 2 if self.padding is None else self.padding
         x = nn.Conv(
             features=self.out_channels,
@@ -72,6 +92,7 @@ class ConvBlock(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=dtype,
             name="conv",
         )(x)
         if self.norm == "bn":
@@ -79,10 +100,11 @@ class ConvBlock(nn.Module):
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
                 epsilon=BN_EPS,
+                dtype=dtype,
                 name="bn",
             )(x)
         elif self.norm == "ln":
-            x = nn.LayerNorm(name="ln")(x)
+            x = nn.LayerNorm(dtype=dtype, name="ln")(x)
         elif self.norm not in (None, "none"):
             raise ValueError(f"Unsupported norm: {self.norm}")
         return get_activation(self.act)(x)

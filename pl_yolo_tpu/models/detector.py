@@ -294,7 +294,12 @@ class DetectionModel:
 
 
 def build_model(cfg: dict, num_classes: int) -> DetectionModel:
-    """Compose a detector from a model-config dict (build_detection.py:23-34)."""
+    """Compose a detector from a model-config dict (build_detection.py:23-34).
+
+    Optional top-level `dtype: bfloat16` enables mixed-precision compute
+    (params fp32, conv/BN compute bf16; decode/loss stay fp32)."""
+    from ..layers.blocks import set_compute_dtype
+    set_compute_dtype(cfg.get("dtype", None) or None)
     b_cfg, n_cfg, h_cfg, l_cfg = cfg["backbone"], cfg["neck"], cfg["head"], cfg["loss"]
     for section, registry, name in (
         ("backbone", BACKBONES, b_cfg["name"]),

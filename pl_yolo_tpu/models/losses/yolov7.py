@@ -53,6 +53,7 @@ def flatten_v7_outputs(outputs: Sequence[jax.Array], strides: Sequence[int],
     ch = 5 + num_classes
     flats, gxy, awh, ss, lid, sizes = [], [], [], [], [], []
     for i, (level, stride) in enumerate(zip(outputs, strides)):
+        level = level.astype(jnp.float32)  # decode/loss math stays fp32
         b, h, w, _ = level.shape
         x = level.reshape(b, h, w, na, ch).transpose(0, 3, 1, 2, 4)
         flats.append(x.reshape(b, na * h * w, ch))

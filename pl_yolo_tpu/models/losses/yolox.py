@@ -59,6 +59,7 @@ def yolox_decode(outputs: Sequence[jax.Array], strides: Sequence[int]) -> Decode
     """
     preds, oris, xs, ys, ss = [], [], [], [], []
     for level, stride in zip(outputs, strides):
+        level = level.astype(jnp.float32)  # decode/loss math stays fp32
         b, h, w, c = level.shape
         flat = level.reshape(b, h * w, c)
         ori = flat[..., :4]

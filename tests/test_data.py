@@ -155,7 +155,7 @@ def test_device_augment_no_mosaic_passthrough(rng):
     """With all probs 0 the images pass through untouched and labels are
     preserved (up to compaction)."""
     cfg = AugmentConfig(mosaic_prob=0.0, mixup_prob=0.0, hsv_prob=0.0,
-                        flip_prob=0.0, max_labels=8)
+                        flip_prob=0.0, max_labels=8, pixel_dtype="float32")
     images = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
     labels = np.zeros((2, 8, 5), np.float32)
     labels[0, 0] = [2, 10, 12, 8, 6]
@@ -163,3 +163,8 @@ def test_device_augment_no_mosaic_passthrough(rng):
         jax.random.key(0), images, jnp.asarray(labels), cfg)
     np.testing.assert_allclose(np.asarray(out_imgs), np.asarray(images), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out_labels)[0, 0], labels[0, 0], atol=1e-4)
+    # default bf16 pixel path: error bounded by quantization (~1/255 of range)
+    cfg16 = AugmentConfig(mosaic_prob=0.0, mixup_prob=0.0, hsv_prob=0.0,
+                          flip_prob=0.0, max_labels=8)
+    out16, _ = device_augment(jax.random.key(0), images, jnp.asarray(labels), cfg16)
+    assert float(jnp.abs(out16 - images).max()) <= 1.0
