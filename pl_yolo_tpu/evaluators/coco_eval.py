@@ -70,9 +70,11 @@ class COCOMetrics(dict):
 
 
 def evaluate_coco(detections: list[dict], gts: list[dict],
-                  max_dets: int = 100) -> COCOMetrics:
+                  max_dets: int = 100, iou_fn=None) -> COCOMetrics:
     """detections: COCO result dicts {image_id, category_id, bbox xywh, score}
     gts: GT dicts {image_id, category_id, bbox xywh, area?, ignore?}.
+    iou_fn(dts, gts) -> [D, G] overrides the bbox IoU (e.g. mask IoU for
+    iouType='segm').
     """
     det_by = defaultdict(list)
     for d in detections:
@@ -105,8 +107,11 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
             gboxes = np.asarray([g["bbox"] for g in gts_ic], np.float64).reshape(-1, 4)
             garea = np.asarray(
                 [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts_ic])
-            gignore_base = np.asarray([bool(g.get("ignore", False)) for g in gts_ic])
-            ious = _iou_xywh(dboxes, gboxes)
+            gignore_base = np.asarray([bool(g.get("ignore", False))
+                                       or bool(g.get("iscrowd", 0))
+                                       for g in gts_ic], dtype=bool)
+            ious = (iou_fn(dts, gts_ic) if iou_fn is not None
+                    else _iou_xywh(dboxes, gboxes))
             scores = np.asarray([d["score"] for d in dts])
             darea = dboxes[:, 2] * dboxes[:, 3]
             per_img.append((scores, ious, garea, gignore_base, darea))
@@ -204,6 +209,58 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
         AR1=_ar(md=1), AR10=_ar(md=10), AR100=_ar(md=100),
         ARs=_ar(area="small"), ARm=_ar(area="medium"), ARl=_ar(area="large"),
     )
+
+
+class COCOeval:
+    """Class API parity with the reference's vendored pycocotools COCOeval
+    (cocoeval.py:11-551): COCOeval(cocoGt, cocoDt, iouType).evaluate()/
+    accumulate()/summarize(), stats = the 12 standard metrics. iouType
+    'bbox' uses box IoU; 'segm' uses the native RLE mask IoU."""
+
+    def __init__(self, cocoGt=None, cocoDt=None, iouType: str = "bbox"):
+        assert iouType in ("bbox", "segm"), f"unsupported iouType {iouType}"
+        self.cocoGt = cocoGt
+        self.cocoDt = cocoDt
+        self.iouType = iouType
+        self.stats = None
+        self._metrics: COCOMetrics | None = None
+        self.params = type("Params", (), {
+            "iouThrs": IOU_THRS, "recThrs": REC_THRS,
+            "maxDets": list(MAX_DETS),
+            "areaRng": [list(v) for v in AREA_RNG.values()],
+            "areaRngLbl": list(AREA_RNG.keys()),
+        })()
+
+    def _mask_iou_fn(self):
+        from . import mask_ops
+
+        def fn(dts, gts):
+            d = [self.cocoDt.annToRLE(a) if isinstance(a.get("segmentation"), (list, dict))
+                 else a["segmentation"] for a in dts]
+            g = [self.cocoGt.annToRLE(a) for a in gts]
+            crowd = [a.get("iscrowd", 0) for a in gts]
+            return mask_ops.iou(d, g, iscrowd=crowd)
+        return fn
+
+    def evaluate(self):
+        gts = [dict(a) for a in self.cocoGt.dataset.get("annotations", [])]
+        dts = [dict(a) for a in self.cocoDt.dataset.get("annotations", [])]
+        iou_fn = self._mask_iou_fn() if self.iouType == "segm" else None
+        self._metrics = evaluate_coco(dts, gts, iou_fn=iou_fn)
+
+    def accumulate(self):
+        if self._metrics is None:
+            self.evaluate()
+
+    def summarize(self):
+        self.accumulate()
+        m = self._metrics
+        self.stats = np.asarray([
+            m["AP"], m["AP50"], m["AP75"], m["APs"], m["APm"], m["APl"],
+            m["AR1"], m["AR10"], m["AR100"], m["ARs"], m["ARm"], m["ARl"],
+        ])
+        print(m.summary)
+        return self.stats
 
 
 def coco_evaluator(json_list: list[dict], dataset) -> tuple[float, float, str]:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.boxes import ciou, cxcywh2xyxy, pairwise_iou
+from ...ops.topk import topk_lastdim
 
 INVALID_PENALTY = 1e9
 
@@ -197,9 +198,9 @@ def _assign_one(gt_boxes, gt_classes, gt_valid, flat_preds, d: V7Decode,
     mask = gt_valid[:, None] & valid[None, :]
     cost = cls_cost + 3.0 * iou_cost + INVALID_PENALTY * (~mask)
 
-    topk_iou, _ = jax.lax.top_k(iou, min(10, Ca))
+    topk_iou = topk_lastdim(iou, min(10, Ca))
     dynamic_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, 10)
-    neg_top, _ = jax.lax.top_k(-cost, 10)
+    neg_top = topk_lastdim(-cost, 10)
     kth = -jnp.take_along_axis(neg_top, dynamic_k[:, None] - 1, axis=1)[:, 0]
     matching = (cost <= kth[:, None]) & mask
 

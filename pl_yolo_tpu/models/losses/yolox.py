@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.boxes import cxcywh2xyxy, iou_loss, pairwise_iou
+from ...ops.topk import topk_lastdim
 
 # Additive penalties for masked-out cost entries. CENTER_PENALTY matches the
 # reference's soft penalty for candidates outside box&center (yolox_loss.py:107);
@@ -158,9 +159,10 @@ def simota_assign(
     log_1mp = jnp.log1p(-p)
     s_all = -jnp.sum(log_1mp, axis=-1)                        # [A]
     cls_idx = jnp.clip(gt_classes, 0, num_classes - 1)
-    # gather per-gt class column -> [M, A]
-    sel_log_p = log_p[:, cls_idx].T
-    sel_log_1mp = log_1mp[:, cls_idx].T
+    # per-gt class column as a one-hot matmul (TPU: MXU beats gather)
+    onehot_cls = jax.nn.one_hot(cls_idx, num_classes)         # [M, C]
+    sel_log_p = onehot_cls @ log_p.T                          # [M, A]
+    sel_log_1mp = onehot_cls @ log_1mp.T
     cls_cost = s_all[None, :] - sel_log_p + sel_log_1mp
 
     cost = (cls_cost + 3.0 * iou_cost
@@ -168,11 +170,11 @@ def simota_assign(
             + INVALID_PENALTY * (~(valid & fg_cand[None, :])))
 
     # dynamic-k (yolox_loss.py:336-340): k = clamp(trunc(sum top-10 IoU), 1)
-    topk_iou, _ = jax.lax.top_k(pair_iou, min(10, pair_iou.shape[-1]))
+    topk_iou = topk_lastdim(pair_iou, min(10, pair_iou.shape[-1]))
     dynamic_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, 10)
 
     # match the k cheapest anchors per gt: threshold at the k-th smallest cost
-    neg_top, _ = jax.lax.top_k(-cost, 10)                     # [M, 10] (k <= 10)
+    neg_top = topk_lastdim(-cost, 10)                         # [M, 10] (k <= 10)
     kth_cost = -jnp.take_along_axis(neg_top, dynamic_k[:, None] - 1, axis=1)[:, 0]
     matching = (cost <= kth_cost[:, None]) & valid & fg_cand[None, :]
 
@@ -229,11 +231,12 @@ def yolox_loss(
     num_fgs = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
     num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
 
-    # targets gathered per anchor (fixed shape; masked by fg)
-    take = jax.vmap(lambda arr, idx: arr[idx])
-    reg_targets = take(gt_boxes, assign.matched_gt)           # [B, A, 4]
-    matched_cls = take(gt_classes, assign.matched_gt)         # [B, A]
-    cls_targets = (jax.nn.one_hot(matched_cls, num_classes)
+    # targets per anchor via one-hot matmuls (TPU: MXU beats [B,A] gathers)
+    m = gt_boxes.shape[1]
+    match_onehot = jax.nn.one_hot(assign.matched_gt, m)       # [B, A, M]
+    reg_targets = jnp.einsum("bam,bmc->bac", match_onehot, gt_boxes)
+    gt_cls_onehot = jax.nn.one_hot(gt_classes, num_classes)   # [B, M, C]
+    cls_targets = (jnp.einsum("bam,bmc->bac", match_onehot, gt_cls_onehot)
                    * assign.pred_ious[..., None])             # (yolox_loss.py:123-125)
 
     loss_iou = jnp.sum(iou_loss(bbox_preds, reg_targets, "giou") * fg) / num_fgs
