@@ -45,12 +45,13 @@ class DataModule:
                            shard_id=shard_id, num_shards=num_shards,
                            seed=self.seed, host_augment=host_aug)
 
-    def val_batches(self):
-        return eval_batches(self.dataset_val, self.val_batch_size)
+    def val_batches(self, shard_id: int = 0, num_shards: int = 1):
+        return eval_batches(self.dataset_val, self.val_batch_size,
+                            shard_id, num_shards)
 
-    def test_batches(self):
+    def test_batches(self, shard_id: int = 0, num_shards: int = 1):
         return eval_batches(self.dataset_test or self.dataset_val,
-                            self.val_batch_size)
+                            self.val_batch_size, shard_id, num_shards)
 
     def make_augment_fn(self):
         cfg = self.augment_cfg

@@ -103,13 +103,18 @@ class TrainLoader:
         self._stop.set()
 
 
-def eval_batches(dataset, batch_size: int):
+def eval_batches(dataset, batch_size: int, shard_id: int = 0,
+                 num_shards: int = 1):
     """Sequential eval iterator; the last batch is padded by repeating the
-    final sample (fixed shapes for jit) with a `count` marking real rows."""
-    n = len(dataset)
+    final sample (fixed shapes for jit) with a `count` marking real rows.
+    With num_shards > 1 each host walks a strided subset (detections are
+    gathered for evaluation, parallel/distributed.py)."""
+    all_idxs = list(range(shard_id, len(dataset), num_shards))
+    n = len(all_idxs)
     for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
+        idxs = all_idxs[start:start + batch_size]
         count = len(idxs)
+        idxs = list(idxs)
         while len(idxs) < batch_size:
             idxs.append(idxs[-1])
         batch = _collate([dataset[i] for i in idxs])

@@ -101,8 +101,9 @@ class Trainer:
         return TrainState.create(variables, tx, use_ema=self.use_ema)
 
     def fit(self, resume_from: str | None = None, resume: bool = False):
+        from ..parallel.distributed import shard_info
         self.datamodule.setup("fit")
-        loader = self.datamodule.train_loader()
+        loader = self.datamodule.train_loader(*shard_info())
         steps_per_epoch = loader.steps_per_epoch
         self._steps_per_epoch = steps_per_epoch
         total_steps = steps_per_epoch * self.max_epochs
@@ -205,6 +206,13 @@ class Trainer:
             infer_t, nms_t = infer_t[1:], nms_t[1:]
         print("The average inference time is %.4fs, nms time is %.4fs"
               % (float(np.mean(infer_t)), float(np.mean(nms_t))))
+        # multi-host: gather every host's detections before evaluating
+        from ..parallel.distributed import all_gather_host
+        import jax as _jax
+        if _jax.process_count() > 1:
+            gathered = all_gather_host((json_list, det_list))
+            json_list = [d for jl, _ in gathered for d in jl]
+            det_list = [d for _, dl in gathered for d in dl]
         if visualize and dataset is not None:
             n = coco_visualization(json_list, dataset, out_dir=show_dir,
                                    score_thr=show_score_thr,
@@ -219,8 +227,9 @@ class Trainer:
         variables = (self.state.eval_variables if self.state is not None
                      else None)
         assert variables is not None, "fit() or load a checkpoint first"
+        from ..parallel.distributed import shard_info
         json_list, det_list = self._run_eval(
-            self.datamodule.val_batches(), variables, conf, nms,
+            self.datamodule.val_batches(*shard_info()), variables, conf, nms,
             dataset=dataset)
         ap, ap50, summary = coco_evaluator(json_list, dataset)
         print(summary)
