@@ -272,10 +272,31 @@ def _yolov5_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
     )
 
 
+def _yolov3_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
+    from .losses.yolov3 import (
+        DEFAULT_V3_ANCHORS, yolov3_eval_decode, yolov3_loss,
+    )
+    strides = tuple(cfg.get("stride", (32, 16, 8)))
+    anchors = tuple(tuple(tuple(a) for a in lvl)
+                    for lvl in cfg.get("anchors", DEFAULT_V3_ANCHORS))
+    img_size = tuple(cfg.get("img_size", (640, 640)))
+    return LossSpec(
+        train_loss=functools.partial(
+            yolov3_loss, num_classes=num_classes, anchors=anchors,
+            img_size=img_size,
+            ignore_threshold=float(cfg.get("ignore_threshold", 0.5))),
+        eval_decode=functools.partial(
+            yolov3_eval_decode, strides=strides, anchors=anchors,
+            num_classes=num_classes, img_size=img_size),
+        strides=strides,
+    )
+
+
 LOSSES: dict[str, Callable[[dict, int], LossSpec]] = {
     "yolox": _yolox_loss_spec,
     "yolov7": _yolov7_loss_spec,
     "yolov5": _yolov5_loss_spec,
+    "yolov3": _yolov3_loss_spec,
 }
 
 

@@ -117,6 +117,34 @@ def ciou(pred, target, fmt_cxcywh: bool = True, eps: float = 1e-7):
     return iou - (rho2 / c2 + v * alpha)
 
 
+def diou(pred, target, fmt_cxcywh: bool = True, eps: float = 1e-7):
+    """Elementwise distance IoU (reference iou_loss.py diou fn, :330-360)."""
+    if fmt_cxcywh:
+        p = cxcywh2xyxy(pred)
+        t = cxcywh2xyxy(target)
+    else:
+        p, t = pred, target
+    iou = elementwise_iou(p, t, fmt_cxcywh=False, eps=eps)
+    cw = jnp.maximum(p[..., 2], t[..., 2]) - jnp.minimum(p[..., 0], t[..., 0])
+    ch = jnp.maximum(p[..., 3], t[..., 3]) - jnp.minimum(p[..., 1], t[..., 1])
+    c2 = cw**2 + ch**2 + eps
+    rho2 = (((t[..., 0] + t[..., 2]) - (p[..., 0] + p[..., 2])) ** 2
+            + ((t[..., 1] + t[..., 3]) - (p[..., 1] + p[..., 3])) ** 2) / 4.0
+    return iou - rho2 / c2
+
+
+def varifocal_loss(pred_logits, gt_score, label, alpha: float = 0.75,
+                   gamma: float = 2.0):
+    """Varifocal loss (reference iou_loss.py VarifocalLoss, :53-124):
+    IoU-aware classification with asymmetric focal weighting.
+    pred_logits/gt_score/label: broadcastable arrays; elementwise."""
+    pred = jax.nn.sigmoid(pred_logits)
+    weight = alpha * jnp.power(pred, gamma) * (1.0 - label) + gt_score * label
+    bce = (jnp.maximum(pred_logits, 0) - pred_logits * gt_score
+           + jnp.log1p(jnp.exp(-jnp.abs(pred_logits))))
+    return bce * weight
+
+
 def iou_loss(pred, target, loss_type: str = "giou", fmt_cxcywh: bool = True):
     """IoU losses (reference IOUloss, iou_loss.py:7-50): 'iou' -> 1 - iou^2,
     'giou' -> 1 - giou, 'ciou' -> 1 - ciou. Elementwise, reduction='none'."""
@@ -127,6 +155,8 @@ def iou_loss(pred, target, loss_type: str = "giou", fmt_cxcywh: bool = True):
         return 1.0 - jnp.clip(giou(pred, target, fmt_cxcywh=fmt_cxcywh), -1.0, 1.0)
     if loss_type == "ciou":
         return 1.0 - ciou(pred, target, fmt_cxcywh=fmt_cxcywh)
+    if loss_type == "diou":
+        return 1.0 - diou(pred, target, fmt_cxcywh=fmt_cxcywh)
     raise ValueError(f"Unsupported iou loss type: {loss_type}")
 
 

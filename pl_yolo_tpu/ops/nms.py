@@ -15,8 +15,11 @@ calls torchvision's C++/CUDA nms / batched_nms) re-architected for TPU/XLA:
     yolov5_decoder.py:70-71): boxes are shifted per class so cross-class
     pairs never overlap.
 
-A Pallas kernel variant lives in pl_yolo_tpu/ops/pallas/nms_pallas.py and is
-used on TPU backends for the suppression sweep when available.
+A fused Pallas kernel variant (IoU + suppression fixpoint entirely in VMEM)
+lives in pl_yolo_tpu/ops/pallas/nms_pallas.py; it matches this path exactly
+on TPU and benches at parity (XLA already fuses the [K,K] pipeline well), so
+the jnp path stays the default and the kernel remains available for fusion
+with surrounding Pallas pipelines.
 """
 
 from __future__ import annotations
@@ -87,6 +90,7 @@ def _nms_single(
     pre_nms_topk: int,
     class_agnostic: bool,
     box_offset_span: float,
+    merge: bool = False,
 ) -> Detections:
     scores = jnp.where(scores >= conf_threshold, scores, 0.0)
     k = min(pre_nms_topk, scores.shape[0])
@@ -105,6 +109,16 @@ def _nms_single(
     iou = _iou_matrix(nms_boxes)
     alive = greedy_suppress(iou, cand_valid, iou_threshold)
 
+    if merge:
+        # merge-NMS (yolov5_decoder.py merge option): each kept box becomes
+        # the score-weighted average of the candidates it suppressed
+        w = jnp.where((iou > iou_threshold) & cand_valid[None, :],
+                      top_scores[None, :], 0.0)
+        w = w + jnp.eye(k) * top_scores[None, :]
+        merged = (w @ top_boxes) / jnp.maximum(
+            jnp.sum(w, axis=1, keepdims=True), 1e-12)
+        top_boxes = jnp.where(alive[:, None], merged, top_boxes)
+
     final_scores = jnp.where(alive, top_scores, 0.0)
     det_scores, det_idx = jax.lax.top_k(final_scores, min(max_det, k))
     return Detections(
@@ -118,7 +132,8 @@ def _nms_single(
 @functools.partial(
     jax.jit,
     static_argnames=("conf_threshold", "iou_threshold", "max_det",
-                     "pre_nms_topk", "class_agnostic", "box_offset_span"),
+                     "pre_nms_topk", "class_agnostic", "box_offset_span",
+                     "merge"),
 )
 def batched_nms(
     boxes: jax.Array,      # [B, A, 4] xyxy
@@ -130,6 +145,7 @@ def batched_nms(
     pre_nms_topk: int = 1024,
     class_agnostic: bool = False,
     box_offset_span: float = 4096.0,
+    merge: bool = False,
 ) -> Detections:
     """Batched class-aware NMS with fixed output shapes."""
     fn = functools.partial(
@@ -140,6 +156,7 @@ def batched_nms(
         pre_nms_topk=pre_nms_topk,
         class_agnostic=class_agnostic,
         box_offset_span=box_offset_span,
+        merge=merge,
     )
     return jax.vmap(fn)(boxes, scores, classes)
 
@@ -151,10 +168,24 @@ def postprocess(
     max_det: int = 300,
     pre_nms_topk: int = 1024,
     class_agnostic: bool = False,
+    multi_label: bool = False,
 ) -> Detections:
     """Reference postprocess (postprocess.py:7-48): confidence = obj * max cls
-    prob, class = argmax cls prob, then (batched) NMS capped at max_det."""
+    prob, class = argmax cls prob, then (batched) NMS capped at max_det.
+    multi_label (yolov5_decoder.py multi-label option): every class above
+    threshold becomes its own candidate instead of only the argmax."""
     cls_probs = predictions[..., 5:]
+    if multi_label:
+        b, a, c = cls_probs.shape
+        scores = (predictions[..., 4:5] * cls_probs).reshape(b, a * c)
+        classes = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.int32)[None, None], (b, a, c)).reshape(b, a * c)
+        boxes = jnp.repeat(predictions[..., :4], c, axis=1)
+        return batched_nms(
+            boxes, scores, classes,
+            conf_threshold=conf_threshold, iou_threshold=iou_threshold,
+            max_det=max_det, pre_nms_topk=pre_nms_topk,
+            class_agnostic=class_agnostic)
     cls_conf = jnp.max(cls_probs, axis=-1)
     cls_pred = jnp.argmax(cls_probs, axis=-1).astype(jnp.int32)
     confidence = predictions[..., 4] * cls_conf

@@ -1,0 +1,152 @@
+"""Tests: drops, varifocal/diou, yolov3 loss/decode, NMS multi-label/merge,
+Pallas NMS kernel (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_yolo_tpu.layers.drops import drop_block_2d, drop_path
+from pl_yolo_tpu.ops.boxes import diou, elementwise_iou, varifocal_loss
+from pl_yolo_tpu.ops.nms import _iou_matrix, batched_nms, greedy_suppress, postprocess
+from pl_yolo_tpu.models.losses.yolov3 import yolov3_eval_decode, yolov3_loss
+
+V3_ANCHORS = (((116, 90), (156, 198), (373, 326)),
+              ((30, 61), (62, 45), (59, 119)),
+              ((10, 13), (16, 30), (33, 23)))
+
+
+def test_drop_path_zeroes_whole_samples(rng):
+    x = jnp.ones((64, 4, 4, 3))
+    y = np.asarray(drop_path(jax.random.key(0), x, 0.5))
+    per_sample = y.reshape(64, -1)
+    zero = (per_sample == 0).all(1)
+    scaled = np.isclose(per_sample, 2.0).all(1)
+    assert (zero | scaled).all()
+    assert zero.any() and scaled.any()
+    np.testing.assert_array_equal(
+        np.asarray(drop_path(jax.random.key(0), x, 0.5, deterministic=True)), x)
+
+
+def test_drop_block_shape_and_rate(rng):
+    x = jnp.ones((2, 32, 32, 8))
+    y = np.asarray(drop_block_2d(jax.random.key(1), x, 0.2, block_size=5))
+    assert y.shape == x.shape
+    assert (y == 0).mean() > 0.01  # some blocks dropped
+
+
+def test_varifocal_loss_weighting():
+    logits = jnp.asarray([2.0, -2.0])
+    # positive with gt_score=0.8 vs background
+    pos = float(varifocal_loss(logits[:1], jnp.asarray([0.8]), jnp.asarray([1.0])).sum())
+    neg = float(varifocal_loss(logits[1:], jnp.asarray([0.0]), jnp.asarray([0.0])).sum())
+    assert pos > 0 and neg > 0
+    # background weight shrinks with low predicted prob (focal term)
+    neg_conf = float(varifocal_loss(jnp.asarray([3.0]), jnp.asarray([0.0]),
+                                    jnp.asarray([0.0])).sum())
+    assert neg_conf > neg
+
+
+def test_diou_less_than_iou_when_centers_apart():
+    a = jnp.asarray([[0.0, 0, 10, 10]])
+    b = jnp.asarray([[5.0, 5, 15, 15]])
+    i = float(elementwise_iou(a, b, fmt_cxcywh=False).sum())
+    d = float(diou(a, b, fmt_cxcywh=False).sum())
+    assert d < i
+
+
+def test_yolov3_loss_and_decode(rng):
+    B, C, na = 2, 5, 3
+    levels = [
+        jnp.asarray(rng.normal(0, 0.1, (B, 4, 4, na * (5 + C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, 8, 8, na * (5 + C))).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, 16, 16, na * (5 + C))).astype(np.float32)),
+    ]
+    labels = np.zeros((B, 10, 5), np.float32)
+    labels[0, 0] = [2, 320, 320, 100, 120]
+    labels[1, 0] = [1, 160, 480, 60, 80]
+    out = yolov3_loss(levels, jnp.asarray(labels), num_classes=C,
+                      img_size=(640, 640), anchors=V3_ANCHORS)
+    assert np.isfinite(float(out["loss"])) and float(out["loss"]) > 0
+
+    def f(x):
+        return yolov3_loss([x] + levels[1:], jnp.asarray(labels), num_classes=C,
+                           img_size=(640, 640), anchors=V3_ANCHORS)["loss"]
+    g = jax.grad(f)(levels[0])
+    assert np.isfinite(np.asarray(g)).all()
+
+    dec = yolov3_eval_decode(levels, (32, 16, 8), V3_ANCHORS, C,
+                             img_size=(640, 640))
+    assert dec.shape == (B, na * (16 + 64 + 256), 5 + C)
+    assert (np.asarray(dec[..., 4:]) >= 0).all()
+
+
+def test_multilabel_postprocess_emits_multiple_classes(rng):
+    # one box with two strong classes -> two detections at the same spot
+    preds = np.zeros((1, 20, 5 + 4), np.float32)
+    preds[0, :, :4] = [10, 10, 50, 50]
+    preds[0, 0, 4] = 1.0
+    preds[0, 0, 5] = 0.9   # class 0
+    preds[0, 0, 6] = 0.8   # class 1
+    det_single = postprocess(jnp.asarray(preds), conf_threshold=0.3,
+                             max_det=10, pre_nms_topk=16)
+    det_multi = postprocess(jnp.asarray(preds), conf_threshold=0.3,
+                            max_det=10, pre_nms_topk=16, multi_label=True)
+    assert int(det_single.valid.sum()) == 1
+    assert int(det_multi.valid.sum()) == 2
+    cls = sorted(np.asarray(det_multi.classes[0])[np.asarray(det_multi.valid[0])])
+    assert cls == [0, 1]
+
+
+def test_merge_nms_averages_boxes(rng):
+    boxes = np.asarray([[[10, 10, 50, 50], [14, 14, 54, 54],
+                         [200, 200, 240, 240]]], np.float32)
+    scores = np.asarray([[0.9, 0.6, 0.5]], np.float32)
+    classes = np.zeros((1, 3), np.int32)
+    det = batched_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                      jnp.asarray(classes), conf_threshold=0.1,
+                      iou_threshold=0.5, max_det=5, pre_nms_topk=3, merge=True)
+    kept = np.asarray(det.boxes[0])[np.asarray(det.valid[0])]
+    # merged first box lies between the two overlapping candidates
+    top = kept[np.argmax(np.asarray(det.scores[0])[np.asarray(det.valid[0])])]
+    assert 10 < top[0] < 14 and 50 < top[2] < 54
+
+
+def test_pallas_nms_interpret_matches_jnp(rng):
+    from pl_yolo_tpu.ops.pallas.nms_pallas import pallas_suppress
+    B, K = 2, 64
+    boxes = rng.uniform(0, 100, (B, K, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(2, 30, (B, K, 2))
+    scores = -np.sort(-rng.uniform(0, 1, (B, K)).astype(np.float32), axis=1)
+    valid = scores > 0.2
+    ap = pallas_suppress(jnp.asarray(boxes), jnp.asarray(valid), 0.5,
+                         interpret=True)
+    aj = jax.vmap(lambda b, v: greedy_suppress(_iou_matrix(b), v, 0.5))(
+        jnp.asarray(boxes), jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(ap), np.asarray(aj))
+
+
+def test_yolov3_registry_builds():
+    from pl_yolo_tpu.models.detector import build_model
+    cfg = {
+        "backbone": {"name": "cspdarknet", "depths": [1, 1, 1, 1],
+                     "channels": [8, 16, 32, 64, 128],
+                     "outputs": ["stage2", "stage3", "stage4"]},
+        "neck": {"name": "csppafpn", "depths": [1, 1, 1, 1],
+                 "channels": [32, 64, 128]},
+        "head": {"name": "simple_head", "num_anchor": 3,
+                 "channels": [32, 64, 128]},
+        "loss": {"name": "yolov3", "stride": [8, 16, 32],
+                 "img_size": [64, 64],
+                 "anchors": [[[10, 13], [16, 30], [33, 23]],
+                             [[30, 61], [62, 45], [59, 119]],
+                             [[116, 90], [156, 198], [373, 326]]]},
+        "optimizer": {"name": "SGD", "learning_rate": 0.01},
+    }
+    model = build_model(cfg, num_classes=4)
+    v = model.init(jax.random.key(0), input_size=(64, 64))
+    outs = model.module.apply(v, jnp.zeros((1, 64, 64, 3)), False)
+    labels = np.zeros((1, 5, 5), np.float32)
+    labels[0, 0] = [1, 32, 32, 20, 20]
+    loss = model.loss.train_loss(outs, jnp.asarray(labels))
+    assert np.isfinite(float(loss["loss"]))
