@@ -170,6 +170,21 @@ def _vit(cfg: dict) -> nn.Module:
     )
 
 
+def _extras(name: str):
+    def make(cfg: dict) -> nn.Module:
+        from .backbones import extras
+        cls = getattr(extras, name)
+        kwargs = {}
+        if "depths" in cfg and hasattr(cls, "depths"):
+            kwargs["depths"] = tuple(cfg["depths"])
+        if "channels" in cfg and hasattr(cls, "channels"):
+            kwargs["channels"] = tuple(cfg["channels"])
+        if "outputs" in cfg:
+            kwargs["outputs"] = tuple(cfg["outputs"])
+        return cls(**kwargs)
+    return make
+
+
 BACKBONES: dict[str, Callable[[dict], nn.Module]] = {
     "cspdarknet": _cspdarknet,
     "eelan": _eelan,
@@ -180,6 +195,13 @@ BACKBONES: dict[str, Callable[[dict], nn.Module]] = {
     "mobilenetv3l": _mobilenetv3("large"),
     "swin_transformer": _swin,
     "vision_transformer": _vit,
+    # extras the reference ships but never wires (SURVEY §2.3) — wired here
+    "efficientrep": _extras("EfficientRep"),
+    "resnet": _extras("ResNet"),
+    "convnext": _extras("ConvNeXt"),
+    "ghostnet": _extras("GhostNet"),
+    "vgg": _extras("VGG"),
+    "mobilenext": _extras("MobileNeXt"),
 }
 
 
