@@ -21,7 +21,7 @@ import os
 
 A100_TRAIN_IPS_ESTIMATE = 250.0  # img/s/chip, documented assumption (see above)
 
-BATCH = int(os.environ.get("BENCH_BATCH", 8))
+BATCH = int(os.environ.get("BENCH_BATCH", 64))  # BASELINE config #5 batch
 SIZE = int(os.environ.get("BENCH_SIZE", 640))
 WARMUP = 3
 ITERS = 10

@@ -292,14 +292,21 @@ def _hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], axis=-1) * 255.0
 
 
-def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4):
-    """Random HSV gains (reference augment_hsv, data_augments.py:109-122)."""
+def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4, enable=None):
+    """Random HSV gains (reference augment_hsv, data_augments.py:109-122).
+
+    `enable` (bool scalar) gates by nulling the gains to identity, so the
+    un-jittered branch is never computed twice (identity HSV roundtrip is
+    exact up to float noise — cheaper than a where() over both branches)."""
     r = jax.random.uniform(rng, (3,), minval=-1.0, maxval=1.0)
-    hsv = _rgb_to_hsv(img)
-    hue = (hsv[..., 0] + r[0] * hgain) % 1.0
+    if enable is not None:
+        r = jnp.where(enable, r, 0.0)
+    dtype = img.dtype
+    hsv = _rgb_to_hsv(img.astype(jnp.float32))  # roundtrip in f32: bf16
+    hue = (hsv[..., 0] + r[0] * hgain) % 1.0    # compounds ~6/255 error
     sat = jnp.clip(hsv[..., 1] * (r[1] * sgain + 1.0), 0.0, 1.0)
     val = jnp.clip(hsv[..., 2] * (r[2] * vgain + 1.0), 0.0, 1.0)
-    return _hsv_to_rgb(jnp.stack([hue, sat, val], axis=-1))
+    return _hsv_to_rgb(jnp.stack([hue, sat, val], axis=-1)).astype(dtype)
 
 
 # ------------------------------------------------------------------ driver
@@ -334,9 +341,8 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
     cand = jnp.concatenate([cand, mix_labels], axis=0)
     valid = jnp.concatenate([valid, mix_valid], axis=0)
 
-    # HSV
-    jittered = hsv_jitter(k_hsv, out_img)
-    out_img = jnp.where(gates[2] < cfg.hsv_prob, jittered, out_img)
+    # HSV (gain-gated: identity gains when the prob gate is off)
+    out_img = hsv_jitter(k_hsv, out_img, enable=gates[2] < cfg.hsv_prob)
 
     # horizontal flip (data_augments.py:125-129)
     do_flip = gates[3] < cfg.flip_prob
