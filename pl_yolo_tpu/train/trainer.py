@@ -89,6 +89,22 @@ class Trainer:
         self._steps_per_epoch = None
         self.use_ema = bool(model_cfg.get("optimizer", {}).get("ema", True))
 
+        # preemption safety (SURVEY §5 'failure detection': the reference has
+        # none — crash = restart): SIGTERM/SIGINT set a flag; the train loop
+        # checkpoints and exits cleanly at the next step boundary, and
+        # --resume continues from there.
+        self._preempted = False
+        import signal
+
+        def _on_signal(signum, frame):
+            print(f"[trainer] received signal {signum}; will checkpoint "
+                  "and stop at the next step boundary")
+            self._preempted = True
+        try:
+            signal.signal(signal.SIGTERM, _on_signal)
+        except ValueError:
+            pass  # non-main thread (e.g. tests)
+
     # ------------------------------------------------------------------ fit
 
     def _build_state(self, total_steps: int) -> TrainState:
@@ -146,6 +162,14 @@ class Trainer:
                         metrics = {k: float(v) for k, v in losses.items()}
                         metrics["lr"] = float(self._schedule(step))
                         self.logger.log_metrics(metrics, step)
+                    if self._preempted:
+                        self._save(epoch, {"mAP": self.best_map,
+                                           "preempted": 1.0})
+                        self.ckpt.wait()
+                        loader.close()
+                        print(f"[trainer] preemption checkpoint at step "
+                              f"{step}; resume with --resume")
+                        return
                 # epoch-end: one sync to report the last step's losses
                 last_loss = float(losses["loss"]) if losses is not None else float("nan")
                 dt = time.time() - t0
