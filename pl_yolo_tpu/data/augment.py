@@ -203,17 +203,28 @@ def _mosaic_one(rng, imgs4, labels4, cfg: AugmentConfig):
     params = _affine_params(k_aff, cfg)
     M = _affine_matrix(params, h, w, mh, mw)
 
+    # the reference's canvas is exactly 2h x 2w — tile overflow beyond it is
+    # cropped (mosaic_detection.py:101-125). Our margins exist only to keep
+    # dynamic_update_slice from clamp-shifting tiles, so sampling must treat
+    # everything outside the central 2h x 2w window as fill.
+    def crop_to_center(coord, lo, hi):
+        return jnp.where((coord >= lo) & (coord < hi), coord, -1e9)
+
     if cfg.separable:
         # x_src(j) = (j - M02)/M00, y_src(i) = (i - M12)/M11
         xs = (jnp.arange(w, dtype=jnp.float32) - M[0, 2]) / M[0, 0]
         ys = (jnp.arange(h, dtype=jnp.float32) - M[1, 2]) / M[1, 1]
+        xs = crop_to_center(xs, mw, mw + 2 * w)
+        ys = crop_to_center(ys, mh, mh + 2 * h)
         out = separable_bilinear(canvas, xs, ys)
     else:
         Minv = jnp.linalg.inv(M)
         ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                               jnp.arange(w, dtype=jnp.float32), indexing="ij")
         cpts = _apply_affine_to_points(Minv, jnp.stack([jj, ii], axis=-1))
-        out = bilinear_sample(canvas, cpts[..., 0], cpts[..., 1])
+        out = bilinear_sample(canvas,
+                              crop_to_center(cpts[..., 0], mw, mw + 2 * w),
+                              crop_to_center(cpts[..., 1], mh, mh + 2 * h))
 
     # ---- labels: tile coords -> canvas (+offset) -> affine -> output
     area_scale = jnp.abs(M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0])
@@ -230,6 +241,11 @@ def _mosaic_one(rng, imgs4, labels4, cfg: AugmentConfig):
             cxy + jnp.stack([-half[:, 0], half[:, 1]], -1),
             cxy + half,
         ], axis=1)                                   # [M, 4, 2] canvas coords
+        # crop boxes to the 2h x 2w canvas window (margin content is fill)
+        corners = jnp.clip(
+            corners,
+            jnp.asarray([mw, mh], jnp.float32),
+            jnp.asarray([mw + 2 * w, mh + 2 * h], jnp.float32))
         tc = _apply_affine_to_points(M, corners)     # output coords
         x1 = jnp.clip(tc[..., 0].min(1), 0, w)
         y1 = jnp.clip(tc[..., 1].min(1), 0, h)

@@ -25,6 +25,10 @@ def main():
 
     np.random.seed(args.seed)  # host-side seed (device PRNG is keyed per step)
 
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
     from pl_yolo_tpu.train.trainer import Trainer
     trainer = Trainer(
         model_cfg, data_cfg,
