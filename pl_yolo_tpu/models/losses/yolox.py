@@ -235,14 +235,22 @@ def yolox_loss(
     m = gt_boxes.shape[1]
     match_onehot = jax.nn.one_hot(assign.matched_gt, m)       # [B, A, M]
     reg_targets = jnp.einsum("bam,bmc->bac", match_onehot, gt_boxes)
-    gt_cls_onehot = jax.nn.one_hot(gt_classes, num_classes)   # [B, M, C]
-    cls_targets = (jnp.einsum("bam,bmc->bac", match_onehot, gt_cls_onehot)
-                   * assign.pred_ious[..., None])             # (yolox_loss.py:123-125)
 
     loss_iou = jnp.sum(iou_loss(bbox_preds, reg_targets, "giou") * fg) / num_fgs
     loss_obj = jnp.sum(_bce_logits(obj_logits, fg)) / num_fgs
-    loss_cls = jnp.sum(
-        jnp.sum(_bce_logits(cls_logits, cls_targets), axis=-1) * fg) / num_fgs
+
+    # cls BCE with targets onehot(cls)*iou (yolox_loss.py:123-125,154),
+    # decomposed so the [B, A, C] target tensor never materializes:
+    #   sum_c BCE(l_c, t_c) = sum_c [max(l_c,0) + log1p(exp(-|l_c|))]
+    #                         - iou * l_{matched class}
+    # (identical value AND gradient: d/dl = sigmoid(l) - t elementwise).
+    # l_{matched class} comes from two small matmuls instead of gathers.
+    s1 = jnp.sum(jnp.maximum(cls_logits, 0)
+                 + jnp.log1p(jnp.exp(-jnp.abs(cls_logits))), axis=-1)  # [B, A]
+    gt_cls_onehot = jax.nn.one_hot(gt_classes, num_classes)   # [B, M, C]
+    per_gt_logit = jnp.einsum("bmc,bac->bma", gt_cls_onehot, cls_logits)
+    l_sel = jnp.einsum("bam,bma->ba", match_onehot, per_gt_logit)
+    loss_cls = jnp.sum((s1 - assign.pred_ious * l_sel) * fg) / num_fgs
 
     if use_l1:
         # L1 in grid units (yolox_loss.py:373-378)
