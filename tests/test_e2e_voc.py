@@ -1,0 +1,63 @@
+"""End-to-end VOC path: VOC datamodule + yolov5 anchor pipeline
+(BASELINE config #3: anchor head + CSPDarknet + PANet on VOC)."""
+
+import numpy as np
+import pytest
+
+from synthetic_coco import make_voc
+
+V5_PICO = {
+    "name": "v5_pico",
+    "backbone": {"name": "cspdarknet", "depths": [1, 1, 1, 1],
+                 "channels": [8, 16, 32, 64, 128],
+                 "outputs": ["stage2", "stage3", "stage4"],
+                 "norm": "bn", "act": "silu"},
+    "neck": {"name": "csppafpn", "depths": [1, 1, 1, 1],
+             "channels": [32, 64, 128], "norm": "bn", "act": "silu"},
+    "head": {"name": "simple_head", "num_anchor": 3,
+             "channels": [32, 64, 128], "norm": "bn", "act": "silu"},
+    "loss": {"name": "yolov5", "stride": [8, 16, 32],
+             "anchors": [[[10, 13], [16, 30], [33, 23]],
+                         [[30, 61], [62, 45], [59, 119]],
+                         [[116, 90], [156, 198], [373, 326]]]},
+    "optimizer": {"name": "SGD", "learning_rate": 0.01, "momentum": 0.9,
+                  "warmup": 0.1, "ema": True},
+}
+
+VOC_CLASSES20 = ["aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+                 "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+                 "motorbike", "person", "pottedplant", "sheep", "sofa",
+                 "train", "tvmonitor"]
+
+
+def _voc_data_cfg(root):
+    return {
+        "name": "syn_voc", "datamodule": "voc",
+        "dataset": {
+            "dir": str(root),
+            "train": "ImageSets/Main/train.txt",
+            "val": "ImageSets/Main/train.txt",
+            "test": "ImageSets/Main/train.txt",
+            "images": "JPEGImages", "annotations": "Annotations",
+            "train_size": [64, 64], "val_size": [64, 64],
+            "train_batch_size": 3, "val_batch_size": 3,
+        },
+        "transform": {"hsv_prob": 0.5, "flip_prob": 0.5, "mosaic_prob": 0.5,
+                      "mosaic_scale": [0.5, 1.5], "degrees": 0,
+                      "translate": 0.1, "shear": 0, "mixup_prob": 0.5,
+                      "copypaste_prob": 0, "cutpaste_prob": 0, "cutoutR_prob": 0},
+        "num_classes": 20, "classes": VOC_CLASSES20,
+    }
+
+
+def test_voc_trainer_fit_and_voc_eval(tmp_path):
+    from pl_yolo_tpu.train.trainer import Trainer
+    root = make_voc(tmp_path / "voc", num_images=3)
+    trainer = Trainer(V5_PICO, _voc_data_cfg(root), max_epochs=1,
+                      check_val_every_n_epoch=1, output_dir=str(tmp_path / "runs"),
+                      logger="csv", log_every_n_steps=1)
+    trainer.fit()
+    assert trainer.ckpt.latest_step is not None
+    # the VOC evaluator path with per-class report
+    ap, ap50 = trainer.test(conf=0.001, nms=0.5, use_voc=True)
+    assert np.isfinite(ap) and np.isfinite(ap50)
