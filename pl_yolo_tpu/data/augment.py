@@ -109,24 +109,33 @@ def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
 
 def separable_bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array,
                        fill: float = FILL) -> jax.Array:
-    """Separable sampling: img [H,W,C] at the coordinate grid ys[i] x xs[j]
-    (float). Two per-axis takes per tap — the TPU-fast path."""
+    """Separable sampling: img [H,W,C] at the coordinate grid ys[i] x xs[j].
+
+    TPU strategy (measured at B64/640, bf16): the y-pass gathers whole rows
+    (`jnp.take` axis 0 — contiguous, fast); the x-pass would be a strided
+    per-column gather (slow), so it runs as an MXU matmul against the
+    2-sparse interpolation matrix instead. 30ms -> 19.5ms over take+take.
+    """
     h, w = img.shape[:2]
     vy = (ys >= 0) & (ys <= h - 1)
     vx = (xs >= 0) & (xs <= w - 1)
     ys = jnp.clip(ys, 0.0, h - 1)
     xs = jnp.clip(xs, 0.0, w - 1)
     y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
     # keep lerp weights in the image dtype so bf16 canvases stay bf16
     fy = (ys - y0)[:, None, None].astype(img.dtype)
-    fx = (xs - x0)[None, :, None].astype(img.dtype)
     rows = (jnp.take(img, y0, axis=0) * (1 - fy)
-            + jnp.take(img, y1, axis=0) * fy)
-    out = (jnp.take(rows, x0, axis=1) * (1 - fx)
-           + jnp.take(rows, x1, axis=1) * fx)
+            + jnp.take(img, y1, axis=0) * fy)          # [Hout, W, C]
+
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fx = (xs - x0).astype(img.dtype)
+    iota = jnp.arange(w, dtype=jnp.int32)[None, :]
+    sel = ((iota == x0[:, None]) * (1 - fx)[:, None]
+           + (iota == x1[:, None]) * fx[:, None]).astype(img.dtype)  # [Wout, W]
+    out = jnp.einsum("wc,hck->hwk", sel, rows,
+                     preferred_element_type=img.dtype)
     mask = vy[:, None] & vx[None, :]
     return jnp.where(mask[..., None], out, jnp.asarray(fill, img.dtype))
 
