@@ -124,6 +124,18 @@ class COCODataset(DetectionDataset):
 
         imgs = {im["id"]: im for im in coco["images"]}
         anns_by_img: dict[int, list] = {im_id: [] for im_id in imgs}
+        # Raw annotations INCLUDING iscrowd, in original-image coords, for the
+        # evaluator: the reference evaluates against the full GT json where
+        # crowd anns act as ignore regions (cocoeval.py:115,192-193); only the
+        # *training* labels drop crowds below.
+        self.eval_annotations = [
+            {"image_id": a["image_id"], "category_id": a["category_id"],
+             "bbox": list(a["bbox"]),
+             "area": a.get("area", a["bbox"][2] * a["bbox"][3]),
+             "iscrowd": int(a.get("iscrowd", 0))}
+            for a in coco.get("annotations", [])
+            if a["image_id"] in anns_by_img
+        ]
         for a in coco.get("annotations", []):
             if a.get("iscrowd", 0):
                 continue

@@ -34,8 +34,12 @@ AREA_RNG = {
 MAX_DETS = (1, 10, 100)
 
 
-def _iou_xywh(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """IoU matrix [D, G] for xywh boxes (maskApi bbIou semantics)."""
+def _iou_xywh(det: np.ndarray, gt: np.ndarray,
+              iscrowd: np.ndarray | None = None) -> np.ndarray:
+    """IoU matrix [D, G] for xywh boxes (maskApi bbIou semantics): for crowd
+    GT columns the denominator is the detection area (IoA), so a detection
+    fully inside a crowd region scores 1.0 against it
+    (reference cocoeval.py:192-193 via maskUtils.iou's iscrowd argument)."""
     if len(det) == 0 or len(gt) == 0:
         return np.zeros((len(det), len(gt)))
     dx1, dy1 = det[:, 0], det[:, 1]
@@ -45,7 +49,10 @@ def _iou_xywh(det: np.ndarray, gt: np.ndarray) -> np.ndarray:
     iw = np.clip(np.minimum(dx2[:, None], gx2[None]) - np.maximum(dx1[:, None], gx1[None]), 0, None)
     ih = np.clip(np.minimum(dy2[:, None], gy2[None]) - np.maximum(dy1[:, None], gy1[None]), 0, None)
     inter = iw * ih
-    union = (det[:, 2] * det[:, 3])[:, None] + (gt[:, 2] * gt[:, 3])[None] - inter
+    darea = (det[:, 2] * det[:, 3])[:, None]
+    union = darea + (gt[:, 2] * gt[:, 3])[None] - inter
+    if iscrowd is not None and np.any(iscrowd):
+        union = np.where(np.asarray(iscrowd, bool)[None, :], darea, union)
     return inter / np.maximum(union, 1e-12)
 
 
@@ -98,34 +105,45 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
     recall = -np.ones((T, len(cat_ids), len(areas), len(MAX_DETS)))
 
     for ci, cat in enumerate(cat_ids):
-        # pre-compute per-image matches at full maxDet, then subset
+        # pre-compute per-image IoUs at full maxDet, then match per area range
         per_img = []
         for img in img_ids:
+            # stable sort by -score (pycocotools argsort(..., kind='mergesort'))
             dts = sorted(det_by.get((img, cat), []), key=lambda d: -d["score"])
+            dts = dts[:MAX_DETS[-1]]
             gts_ic = gt_by.get((img, cat), [])
             dboxes = np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4)
             gboxes = np.asarray([g["bbox"] for g in gts_ic], np.float64).reshape(-1, 4)
             garea = np.asarray(
                 [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts_ic])
-            gignore_base = np.asarray([bool(g.get("ignore", False))
-                                       or bool(g.get("iscrowd", 0))
-                                       for g in gts_ic], dtype=bool)
+            iscrowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gts_ic],
+                                 dtype=bool)
+            # base ignore: iscrowd (reference cocoeval.py:115). We also honor
+            # an explicit `ignore` field (deliberate superset: the reference
+            # overwrites it, upstream-pycocotools dead-code quirk).
+            gignore_base = np.asarray(
+                [bool(g.get("ignore", False)) for g in gts_ic], bool) | iscrowd
             ious = (iou_fn(dts, gts_ic) if iou_fn is not None
-                    else _iou_xywh(dboxes, gboxes))
+                    else _iou_xywh(dboxes, gboxes, iscrowd))
             scores = np.asarray([d["score"] for d in dts])
             darea = dboxes[:, 2] * dboxes[:, 3]
-            per_img.append((scores, ious, garea, gignore_base, darea))
+            per_img.append((scores, ious, garea, gignore_base, iscrowd, darea))
 
         for ai, (aname, (amin, amax)) in enumerate(areas):
             for mi, md in enumerate(MAX_DETS):
                 all_scores, all_matched, all_ignored = [], [], []
                 npig = 0
-                for scores, ious, garea, gig_base, darea in per_img:
-                    gig = gig_base | (garea < amin) | (garea > amax)
-                    npig += int((~gig).sum())
+                for scores, ious, garea, gig_base, iscrowd, darea in per_img:
+                    gig_u = gig_base | (garea < amin) | (garea > amax)
+                    npig += int((~gig_u).sum())
+                    # sort GTs ignore-last (stable), as cocoeval.py:266 does:
+                    # the match loop's break below relies on this ordering
+                    gorder = np.argsort(gig_u, kind="mergesort")
+                    gig = gig_u[gorder]
+                    crowd = iscrowd[gorder]
                     k = min(md, len(scores))
                     s = scores[:k]
-                    iou = ious[:k]
+                    iou = ious[:k][:, gorder]
                     D, G = iou.shape
                     dt_m = -np.ones((T, D), np.int64)
                     gt_m = -np.ones((T, G), np.int64)
@@ -133,10 +151,12 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
                         for di in range(D):
                             best, bi = min(thr, 1 - 1e-10), -1
                             for gi in range(G):
-                                if gt_m[ti, gi] >= 0:
+                                # crowd GTs may be matched repeatedly
+                                # (cocoeval.py:288-289)
+                                if gt_m[ti, gi] >= 0 and not crowd[gi]:
                                     continue
-                                # prefer non-ignored; once matched to a real gt,
-                                # don't switch to an ignored one (cocoeval logic)
+                                # once matched to a real gt, don't switch to
+                                # an ignored one (all later gts are ignored)
                                 if bi > -1 and not gig[bi] and gig[gi]:
                                     break
                                 if iou[di, gi] < best:
@@ -265,18 +285,25 @@ class COCOeval:
 
 def coco_evaluator(json_list: list[dict], dataset) -> tuple[float, float, str]:
     """Reference COCOEvaluator signature (eval_coco.py:8-36): detections as
-    COCO-json dicts + the dataset -> (AP, AP50, summary)."""
-    gts = []
-    for boxes, classes, h, w, img_id in dataset.annotations:
-        r = min(dataset.img_size[0] / h, dataset.img_size[1] / w)
-        for b, c in zip(boxes, classes):
-            ob = b / r  # stored boxes are letterbox-scaled; undo for eval
-            gts.append({
-                "image_id": int(img_id),
-                "category_id": int(dataset.class_ids[int(c)]),
-                "bbox": [float(ob[0]), float(ob[1]),
-                         float(ob[2] - ob[0]), float(ob[3] - ob[1])],
-            })
+    COCO-json dicts + the dataset -> (AP, AP50, summary).
+
+    GT comes from the dataset's raw json annotations (incl. iscrowd ignore
+    regions) when available — matching the reference, which evaluates against
+    the original cocoGt — with a letterbox-unscale fallback for datasets that
+    keep only scaled boxes (e.g. VOC-as-COCO)."""
+    gts = getattr(dataset, "eval_annotations", None)
+    if gts is None:
+        gts = []
+        for boxes, classes, h, w, img_id in dataset.annotations:
+            r = min(dataset.img_size[0] / h, dataset.img_size[1] / w)
+            for b, c in zip(boxes, classes):
+                ob = b / r  # stored boxes are letterbox-scaled; undo for eval
+                gts.append({
+                    "image_id": int(img_id),
+                    "category_id": int(dataset.class_ids[int(c)]),
+                    "bbox": [float(ob[0]), float(ob[1]),
+                             float(ob[2] - ob[0]), float(ob[3] - ob[1])],
+                })
     if not json_list:
         return 0.0, 0.0, "no detections"
     m = evaluate_coco(json_list, gts)
