@@ -328,10 +328,55 @@ def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4, enable=None):
         r = jnp.where(enable, r, 0.0)
     dtype = img.dtype
     hsv = _rgb_to_hsv(img.astype(jnp.float32))  # roundtrip in f32: bf16
-    hue = (hsv[..., 0] + r[0] * hgain) % 1.0    # compounds ~6/255 error
+    # multiplicative hue LUT `(x * r0) % 180` (data_augments.py:114-115),
+    # mapped to our [0,1) hue space; r0=1 (gated) is an exact identity
+    hue = (hsv[..., 0] * (r[0] * hgain + 1.0)) % 1.0
     sat = jnp.clip(hsv[..., 1] * (r[1] * sgain + 1.0), 0.0, 1.0)
     val = jnp.clip(hsv[..., 2] * (r[2] * vgain + 1.0), 0.0, 1.0)
     return _hsv_to_rgb(jnp.stack([hue, sat, val], axis=-1)).astype(dtype)
+
+
+# ------------------------------------------------------------------- mixup
+
+def _mixup_transform(rng, img, labels, cfg: AugmentConfig):
+    """Reference mixup partner jitter (mosaic_detection.py:169-240): resize
+    the letterboxed partner by jit_factor ~ U(*mixup_scale), 50% horizontal
+    flip, zero-pad, random-crop back to (h, w); boxes are scaled, flipped
+    about the scaled width, offset and clipped the same way.
+
+    Runs device-side as one separable bilinear sample (the scale+crop is an
+    axis-aligned affine). Deviations from the host reference: the crop offset
+    is continuous-uniform rather than randint, and degenerate boxes (w or h
+    <= 1px after clipping) are masked invalid — the reference feeds zero-area
+    clipped boxes to its loss."""
+    h, w = img.shape[:2]
+    kf, kflip, ky, kx = jax.random.split(rng, 4)
+    f = jax.random.uniform(kf, (), minval=cfg.mixup_scale[0],
+                           maxval=cfg.mixup_scale[1])
+    flip = jax.random.uniform(kflip, ()) > 0.5
+    sh, sw = h * f, w * f
+    y_off = jax.random.uniform(ky, ()) * jnp.maximum(sh - h, 0.0)
+    x_off = jax.random.uniform(kx, ()) * jnp.maximum(sw - w, 0.0)
+    xj = jnp.arange(w, dtype=jnp.float32) + x_off     # padded/scaled coords
+    xj = jnp.where(flip, (sw - 1.0) - xj, xj)
+    xs = (xj + 0.5) / f - 0.5                         # cv2-convention centers
+    ys = (jnp.arange(h, dtype=jnp.float32) + y_off + 0.5) / f - 0.5
+    out = separable_bilinear(img, xs, ys, fill=0.0)   # pad canvas is zeros
+
+    v = jnp.sum(jnp.abs(labels), axis=-1) > 0
+    cx, cy = labels[:, 1] * f, labels[:, 2] * f
+    bw, bh = labels[:, 3] * f, labels[:, 4] * f
+    x1, x2 = cx - bw / 2, cx + bw / 2
+    fx1 = jnp.where(flip, sw - x2, x1)
+    fx2 = jnp.where(flip, sw - x1, x2)
+    x1n = jnp.clip(fx1 - x_off, 0.0, w)
+    x2n = jnp.clip(fx2 - x_off, 0.0, w)
+    y1n = jnp.clip(cy - bh / 2 - y_off, 0.0, h)
+    y2n = jnp.clip(cy + bh / 2 - y_off, 0.0, h)
+    nw, nh = x2n - x1n, y2n - y1n
+    cand = jnp.stack(
+        [labels[:, 0], (x1n + x2n) / 2, (y1n + y2n) / 2, nw, nh], -1)
+    return out, cand, v & (nw > 1) & (nh > 1)
 
 
 # ------------------------------------------------------------------ driver
@@ -340,7 +385,7 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
                  mix_labels, cfg: AugmentConfig):
     """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates."""
     h, w = img.shape[:2]
-    k_gate, k_mosaic, k_hsv = jax.random.split(rng, 3)
+    k_gate, k_mosaic, k_hsv, k_mixt = jax.random.split(rng, 4)
     gates = jax.random.uniform(k_gate, (4,))
 
     imgs4 = jnp.concatenate([img[None], partners], axis=0)
@@ -359,12 +404,13 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
     valid = jnp.where(use_mosaic, mo_valid, plain_valid)
 
     # mixup (reference mosaic_detection.py:140-141: only after mosaic):
-    # 0.5/0.5 blend with another batch image, labels concatenated
+    # jit-scale + flip + crop the partner, then 0.5/0.5 blend, labels
+    # concatenated (mosaic_detection.py:169-240)
     use_mix = use_mosaic & (gates[1] < cfg.mixup_prob)
-    out_img = jnp.where(use_mix, 0.5 * out_img + 0.5 * mix_img, out_img)
-    mix_valid = (jnp.sum(jnp.abs(mix_labels), axis=-1) > 0) & use_mix
-    cand = jnp.concatenate([cand, mix_labels], axis=0)
-    valid = jnp.concatenate([valid, mix_valid], axis=0)
+    mix_t, mix_cand, mix_v = _mixup_transform(k_mixt, mix_img, mix_labels, cfg)
+    out_img = jnp.where(use_mix, 0.5 * out_img + 0.5 * mix_t, out_img)
+    cand = jnp.concatenate([cand, mix_cand], axis=0)
+    valid = jnp.concatenate([valid, mix_v & use_mix], axis=0)
 
     # HSV (gain-gated: identity gains when the prob gate is off)
     out_img = hsv_jitter(k_hsv, out_img, enable=gates[2] < cfg.hsv_prob)

@@ -204,10 +204,12 @@ def _assign_one(gt_boxes, gt_classes, gt_valid, flat_preds, d: V7Decode,
     kth = -jnp.take_along_axis(neg_top, dynamic_k[:, None] - 1, axis=1)[:, 0]
     matching = (cost <= kth[:, None]) & mask
 
+    # conflicted candidates are FORCE-assigned to the argmin-cost gt
+    # (reference yolov7_loss.py conflict block zeroes then sets argmin row)
     n_claims = jnp.sum(matching, axis=0)
     argmin_gt = jnp.argmin(cost, axis=0)
-    only_min = jax.nn.one_hot(argmin_gt, M, dtype=bool).T
-    matching = jnp.where(n_claims[None, :] > 1, matching & only_min, matching)
+    only_min = jax.nn.one_hot(argmin_gt, M, dtype=bool).T & mask
+    matching = jnp.where(n_claims[None, :] > 1, only_min, matching)
 
     fg = jnp.any(matching, axis=0)
     matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)

@@ -178,12 +178,15 @@ def simota_assign(
     kth_cost = -jnp.take_along_axis(neg_top, dynamic_k[:, None] - 1, axis=1)[:, 0]
     matching = (cost <= kth_cost[:, None]) & valid & fg_cand[None, :]
 
-    # conflict resolution (yolox_loss.py:352-356): anchors claimed by >1 gt go
-    # to the gt with min cost
+    # conflict resolution (yolox_loss.py:352-356): anchors claimed by >1 gt
+    # are FORCE-assigned to the argmin-cost gt (reference zeroes the column
+    # then sets matching[cost_argmin]=1 — even if that gt's dynamic-k
+    # threshold had not claimed the anchor)
     n_claims = jnp.sum(matching, axis=0)                      # [A]
     argmin_gt = jnp.argmin(cost, axis=0)                      # [A]
-    only_min = jax.nn.one_hot(argmin_gt, gt_boxes.shape[0], dtype=bool).T
-    matching = jnp.where(n_claims[None, :] > 1, matching & only_min, matching)
+    only_min = (jax.nn.one_hot(argmin_gt, gt_boxes.shape[0], dtype=bool).T
+                & valid & fg_cand[None, :])
+    matching = jnp.where(n_claims[None, :] > 1, only_min, matching)
 
     fg_mask = jnp.any(matching, axis=0)
     matched_gt = jnp.argmax(matching, axis=0).astype(jnp.int32)

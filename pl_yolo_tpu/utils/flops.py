@@ -25,8 +25,11 @@ def model_summary(module, variables, input_size=(640, 640), batch_size: int = 1)
             cost = cost[0]
         if cost and "flops" in cost:
             flops = float(cost["flops"]) / batch_size
-    except Exception:
-        pass
+    except Exception as e:  # cost analysis can fail through the tunnel —
+        import warnings      # summarize without FLOPs but say so loudly
+
+        warnings.warn(f"XLA cost analysis failed; summary has no FLOPs: {e}",
+                      RuntimeWarning, stacklevel=2)
 
     txt = f"Params: {n_params / 1e6:.2f}M"
     if flops is not None:

