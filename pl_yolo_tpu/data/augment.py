@@ -382,8 +382,10 @@ def _mixup_transform(rng, img, labels, cfg: AugmentConfig):
 # ------------------------------------------------------------------ driver
 
 def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
-                 mix_labels, cfg: AugmentConfig):
-    """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates."""
+                 mix_labels, cfg: AugmentConfig, enable=True):
+    """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates.
+    `enable` (bool scalar, may be traced) gates mosaic+mixup — the YOLOX
+    no-aug final epochs keep HSV/flip but drop the heavy augs."""
     h, w = img.shape[:2]
     k_gate, k_mosaic, k_hsv, k_mixt = jax.random.split(rng, 4)
     gates = jax.random.uniform(k_gate, (4,))
@@ -393,7 +395,7 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
     mo_img, mo_cand, mo_valid = _mosaic_one(k_mosaic, imgs4, labels4, cfg)
 
     base_valid = jnp.sum(jnp.abs(labels), axis=-1) > 0
-    use_mosaic = gates[0] < cfg.mosaic_prob
+    use_mosaic = (gates[0] < cfg.mosaic_prob) & enable
     out_img = jnp.where(use_mosaic, mo_img, img)
     m = labels.shape[0]
     pad = jnp.zeros((mo_cand.shape[0] - m, 5), labels.dtype)
@@ -426,13 +428,17 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
 
 
 def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
-                   cfg: AugmentConfig):
+                   cfg: AugmentConfig, enable=True):
     """Batched augmentation: images [B,H,W,3] (uint8 or float 0..255),
     labels [B,M,5] cxcywh-pixels. Returns (float32 images, [B,max_labels,5]).
-    """
+
+    `enable` (bool, traced OK) gates mosaic+mixup at runtime so the trainer's
+    no-aug final epochs reuse the SAME compiled step (HSV/flip stay on,
+    matching the YOLOX no-aug recipe)."""
     b = images.shape[0]
     pixel_dtype = jnp.bfloat16 if cfg.pixel_dtype == "bfloat16" else jnp.float32
     images = images.astype(pixel_dtype)
+    enable = jnp.asarray(enable, bool)
     k_perm, k_mix, k_each = jax.random.split(rng, 3)
     perm = jax.random.permutation(k_perm, b)
     idx4 = jnp.stack([jnp.roll(perm, -i) for i in (1, 2, 3)], axis=1)  # [B,3]
@@ -442,7 +448,8 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
     mix_img = images[mix_idx]
     mix_labels = labels[mix_idx]
     keys = jax.random.split(k_each, b)
-    fn = lambda k, i, l, p, pl, mi, ml: _augment_one(k, i, l, p, pl, mi, ml, cfg)
+    fn = lambda k, i, l, p, pl, mi, ml: _augment_one(k, i, l, p, pl, mi, ml,
+                                                     cfg, enable=enable)
     out_imgs, out_labels = jax.vmap(fn)(keys, images, labels, partners,
                                         partner_labels, mix_img, mix_labels)
     return out_imgs.astype(jnp.float32), out_labels

@@ -55,8 +55,8 @@ class DataModule:
 
     def make_augment_fn(self):
         cfg = self.augment_cfg
-        def augment(rng, images, labels):
-            return device_augment(rng, images, labels, cfg)
+        def augment(rng, images, labels, enable=True):
+            return device_augment(rng, images, labels, cfg, enable=enable)
         return augment
 
 

@@ -255,7 +255,11 @@ def yolox_loss(
     l_sel = jnp.einsum("bam,bma->ba", match_onehot, per_gt_logit)
     loss_cls = jnp.sum((s1 - assign.pred_ious * l_sel) * fg) / num_fgs
 
-    if use_l1:
+    # use_l1 may be a static bool (compiled in/out) or a traced scalar for
+    # the epoch-gated no-aug schedule (one compiled step, flag flips live)
+    if isinstance(use_l1, bool) and not use_l1:
+        loss_l1 = jnp.asarray(0.0)
+    else:
         # L1 in grid units (yolox_loss.py:373-378)
         st = d.strides[None, :]
         l1_t = jnp.stack([
@@ -266,8 +270,8 @@ def yolox_loss(
         ], axis=-1)
         loss_l1 = jnp.sum(
             jnp.sum(jnp.abs(d.ori_boxes - l1_t), axis=-1) * fg) / num_fgs
-    else:
-        loss_l1 = jnp.asarray(0.0)
+        if not isinstance(use_l1, bool):
+            loss_l1 = loss_l1 * jnp.asarray(use_l1, jnp.float32)
 
     reg_weight = 5.0                                          # (yolox_loss.py:162)
     loss = reg_weight * loss_iou + loss_obj + loss_cls + loss_l1

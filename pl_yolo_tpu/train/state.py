@@ -74,18 +74,41 @@ def make_train_step(
 
     apply_fn(variables, images, train, mutable) -> (head_outputs, mutated)
     loss_fn(head_outputs, labels) -> dict with 'loss' + metrics
-    augment_fn(rng, images, labels) -> (images, labels)  [device-side aug]
-    """
+    augment_fn(rng, images, labels[, enable]) -> (images, labels)
 
-    def step_fn(state: TrainState, images, labels, rng):
+    The returned step takes two optional traced flags for the epoch-gated
+    YOLOX no-aug schedule — step(state, images, labels, rng,
+    aug_enable=..., use_l1=...) — threaded to augment_fn/loss_fn only when
+    those accept them (inspected once here), so all call sites and loss
+    families that predate the schedule keep working unchanged."""
+    import inspect
+
+    def _accepts(fn, name):
+        try:
+            return name in inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return False
+
+    aug_takes_enable = augment_fn is not None and _accepts(augment_fn, "enable")
+    loss_takes_l1 = _accepts(loss_fn, "use_l1")
+
+    def step_fn(state: TrainState, images, labels, rng,
+                aug_enable=None, use_l1=None):
         if augment_fn is not None:
-            images, labels = augment_fn(rng, images, labels)
+            if aug_takes_enable and aug_enable is not None:
+                images, labels = augment_fn(rng, images, labels,
+                                            enable=aug_enable)
+            else:
+                images, labels = augment_fn(rng, images, labels)
 
         def compute_loss(params):
             outputs, mutated = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, True, mutable=["batch_stats"])
-            losses = loss_fn(outputs, labels)
+            if loss_takes_l1 and use_l1 is not None:
+                losses = loss_fn(outputs, labels, use_l1=use_l1)
+            else:
+                losses = loss_fn(outputs, labels)
             return losses["loss"], (losses, mutated["batch_stats"])
 
         grads, (losses, new_stats) = jax.grad(compute_loss, has_aux=True)(state.params)

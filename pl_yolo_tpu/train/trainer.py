@@ -147,11 +147,30 @@ class Trainer:
             augment_fn=self._make_augment())
         rng = jax.random.key(self.seed + 1)
 
+        # epoch-gated YOLOX recipe (upstream exp: no_aug_epochs=15): the last
+        # N epochs run with mosaic/mixup off and the L1 term on. Flags are
+        # traced scalars, so the flip reuses the same compiled step.
+        sched = self.model_cfg.get("schedule", {}) or {}
+        no_aug_epochs = int(sched.get("no_aug_epochs", 0))
+        l1_in_no_aug = bool(sched.get("use_l1", True))
+        static_l1 = bool(self.model_cfg.get("loss", {}).get("use_l1", False))
+
         with self.mesh:
             step = 0
             for epoch in range(start_epoch, self.max_epochs):
                 t0 = time.time()
                 losses = None
+                no_aug = (no_aug_epochs > 0
+                          and epoch >= self.max_epochs - no_aug_epochs)
+                flags = {}
+                if no_aug_epochs > 0:
+                    flags = {"aug_enable": not no_aug,
+                             "use_l1": static_l1 or (no_aug and l1_in_no_aug)}
+                    if epoch in (start_epoch,
+                                 self.max_epochs - no_aug_epochs):
+                        print(f"[trainer] epoch {epoch}: mosaic/mixup "
+                              f"{'OFF' if no_aug else 'on'}, "
+                              f"L1 {'on' if flags['use_l1'] else 'off'}")
                 for i in range(steps_per_epoch):
                     batch = next(loader)
                     sharded = shard_batch(self.mesh, {
@@ -160,7 +179,7 @@ class Trainer:
                     rng, step_rng = jax.random.split(rng)
                     self.state, losses = step_fn(
                         self.state, sharded["images"], sharded["labels"],
-                        step_rng)
+                        step_rng, **flags)
                     step += 1  # host-side counter: reading state.step would sync
                     if step % self.log_every == 0:
                         metrics = {k: float(v) for k, v in losses.items()}
