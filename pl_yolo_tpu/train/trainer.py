@@ -141,10 +141,38 @@ class Trainer:
             {"model": self.model_cfg, "data": self.data_cfg,
              "params": n_params, "flops": flops})
 
-        step_fn = make_train_step(
-            self.model.module.apply, self.model.loss.train_loss,
-            use_ema=self.use_ema,
-            augment_fn=self._make_augment())
+        # multi-scale bucketed training (BASELINE config #5): a small static
+        # set of bucket sizes, ONE compiled step per bucket, cycled every
+        # `multiscale_interval` steps with a seeded host-side RNG
+        t_cfg = self.data_cfg.get("transform", {}) or {}
+        ms_sizes = [tuple(s) for s in (t_cfg.get("multiscale_sizes") or [])]
+        ms_interval = int(t_cfg.get("multiscale_interval", 10))
+        base_aug = self._make_augment()
+
+        def make_step(out_hw=None):
+            if out_hw is None:
+                aug = base_aug
+            else:
+                def aug(rng, images, labels, enable=True):
+                    from ..data.augment import multiscale_resize
+                    imgs, labs = base_aug(rng, images, labels, enable=enable)
+                    return multiscale_resize(imgs, labs, out_hw)
+            return make_train_step(
+                self.model.module.apply, self.model.loss.train_loss,
+                use_ema=self.use_ema, augment_fn=aug)
+
+        base_hw = tuple(self.datamodule.train_size)
+        if ms_sizes:
+            # index 0 = the base size (no resize) — also what the final
+            # no-aug epochs train at; other buckets resize device-side
+            step_fns = [make_step()] + [make_step(s) for s in ms_sizes
+                                        if tuple(s) != base_hw]
+            ms_rng = np.random.default_rng(self.seed + 7)
+            print(f"[trainer] multi-scale buckets {[base_hw] + ms_sizes}, "
+                  f"switch every {ms_interval} steps")
+        else:
+            step_fns = [make_step()]
+        step_fn = step_fns[0]
         rng = jax.random.key(self.seed + 1)
 
         # epoch-gated YOLOX recipe (upstream exp: no_aug_epochs=15): the last
@@ -177,6 +205,14 @@ class Trainer:
                         "images": batch["images"],
                         "labels": batch["labels"]})
                     rng, step_rng = jax.random.split(rng)
+                    if ms_sizes and not no_aug:
+                        # new bucket every ms_interval steps (final no-aug
+                        # epochs train at the base size, YOLOX-style)
+                        if step % ms_interval == 0:
+                            step_fn = step_fns[int(
+                                ms_rng.integers(len(step_fns)))]
+                    elif ms_sizes:
+                        step_fn = step_fns[0]
                     self.state, losses = step_fn(
                         self.state, sharded["images"], sharded["labels"],
                         step_rng, **flags)
