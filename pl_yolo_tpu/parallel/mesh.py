@@ -43,6 +43,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays with leading batch dim) onto the
-    mesh, sharded along 'data'."""
+    mesh, sharded along 'data'.
+
+    Multi-host: each process holds its LOCAL shard of the global batch, so
+    the global array is assembled with make_array_from_process_local_data
+    (global batch = local batch x process_count); device_put would wrongly
+    treat the local shard as the whole global array."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, x, gshape)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -75,8 +75,10 @@ class Trainer:
 
         # mesh: all devices on 'data'. A batch that does not divide the
         # device count is a hard config error — silently dropping to one
-        # device would waste the slice (VERDICT r1 weak #3).
-        n_dev = len(jax.devices())
+        # device would waste the slice (VERDICT r1 weak #3). batch_size is
+        # PER HOST, so the divisibility constraint is against the host-local
+        # device count (global batch = bs x process_count).
+        n_dev = jax.local_device_count()
         bs = self.datamodule.train_batch_size
         if bs % n_dev != 0:
             raise ValueError(
