@@ -78,8 +78,8 @@ def main():
     for name, impl in [("current(dot_general)", current),
                        ("legacy(einsum)", legacy_separable)]:
         aug.separable_bilinear = impl
-        f = jax.jit(lambda k: aug.device_augment(k, images, labels, cfg))
-        dt = timeit(f, key)
+        f = jax.jit(lambda k, i, l: aug.device_augment(k, i, l, cfg))
+        dt = timeit(f, key, images, labels)
         results[name] = dt * 1e3
         print(f"{name}: {dt * 1e3:.2f} ms  "
               f"({batch / dt:.0f} img/s)", flush=True)
