@@ -68,6 +68,7 @@ class COCODataModule(DataModule):
             self.dataset_train = COCODataset(
                 root, d["train_json"], d["train"], img_size=self.train_size,
                 max_labels=50, cache=self.cache)
+            self.dataset_train.preload_cache()
         if stage in ("fit", "val", "all"):
             self.dataset_val = COCODataset(
                 root, d["val_json"], d["val"], img_size=self.val_size,
@@ -91,6 +92,7 @@ class VOCDataModule(DataModule):
             self.dataset_train = VOCDataset(
                 root, d["train"], img_size=self.train_size, max_labels=50,
                 cache=self.cache, **kw)
+            self.dataset_train.preload_cache()
         if stage in ("fit", "val", "all"):
             self.dataset_val = VOCDataset(
                 root, d["val"], img_size=self.val_size, max_labels=100, **kw)

@@ -61,6 +61,18 @@ class DetectionDataset:
         self.cache = cache
         self._cache_store: dict[int, np.ndarray] = {}
 
+    def preload_cache(self, workers: int = 4) -> None:
+        """Eagerly decode every image into the RAM cache with a thread pool
+        (reference cocoDataset.py:137-158 ThreadPool preload; threads overlap
+        file IO even on the 1-core host). Lazy caching still happens on
+        first access if this is never called."""
+        if not self.cache:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(self.load_image, range(len(self))))
+
     def __len__(self):
         return len(self.ids)
 

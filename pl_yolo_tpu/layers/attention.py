@@ -177,6 +177,9 @@ class SKFF(nn.Module):
         return out
 
 
+from .attention_extra import (ACmix, DAttention, HaloAttention,  # noqa: E402
+                              MobileViTAttention, OutlookAttention)
+
 ATTENTION = {
     "se": SELayer,
     "eca": ECALayer,
@@ -187,6 +190,11 @@ ATTENTION = {
     "shuffle": ShuffleAttention,
     "gam": GAM,
     "skff": SKFF,
+    "halo": HaloAttention,
+    "outlook": OutlookAttention,
+    "mobilevit": MobileViTAttention,
+    "acmix": ACmix,
+    "dat": DAttention,
 }
 
 
