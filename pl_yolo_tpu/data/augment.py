@@ -57,6 +57,10 @@ class AugmentConfig(NamedTuple):
     # HBM traffic of the 3Hx3W canvas (pixel error <=1/255 — augmentation
     # noise); label math stays fp32
     pixel_dtype: str = "bfloat16"
+    # mosaic sampling backend: "auto" uses the Pallas kernel on TPU when the
+    # affine is separable and mosaic_scale fits its target-window bound;
+    # "on"/"off" force it
+    use_pallas: str = "auto"
 
     @classmethod
     def from_dict(cls, t: dict, max_labels: int = 100) -> "AugmentConfig":
@@ -72,6 +76,7 @@ class AugmentConfig(NamedTuple):
             hsv_prob=float(t.get("hsv_prob", 0.5)),
             flip_prob=float(t.get("flip_prob", 0.5)),
             max_labels=max_labels,
+            use_pallas=str(t.get("use_pallas", "auto")),
         )
 
     @property
@@ -120,6 +125,7 @@ def separable_bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array,
     [Wout, W] @ [W, 3] matmuls whose N=3 wastes 125/128 MXU lanes.
     """
     h, w = img.shape[:2]
+    c = img.shape[2]
     vy = (ys >= 0) & (ys <= h - 1)
     vx = (xs >= 0) & (xs <= w - 1)
     ys = jnp.clip(ys, 0.0, h - 1)
@@ -127,9 +133,13 @@ def separable_bilinear(img: jax.Array, xs: jax.Array, ys: jax.Array,
     y0 = jnp.floor(ys).astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, h - 1)
     # keep lerp weights in the image dtype so bf16 canvases stay bf16
-    fy = (ys - y0)[:, None, None].astype(img.dtype)
-    rows = (jnp.take(img, y0, axis=0) * (1 - fy)
-            + jnp.take(img, y1, axis=0) * fy)          # [Hout, W, C]
+    fy = (ys - y0)[:, None].astype(img.dtype)
+    # row gathers run on the [H, W*C] view: with C=3 minor the TPU gather
+    # uses 3/128 lanes; flattening W and C puts the full row on the lanes
+    flat = img.reshape(h, w * c)
+    rows = (jnp.take(flat, y0, axis=0) * (1 - fy)
+            + jnp.take(flat, y1, axis=0) * fy)         # [Hout, W*C]
+    rows = rows.reshape(-1, w, c)
 
     x0 = jnp.floor(xs).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, w - 1)
@@ -188,10 +198,70 @@ def _apply_affine_to_points(M: jax.Array, pts: jax.Array) -> jax.Array:
     return (jnp.concatenate([pts, ones], axis=-1) @ M.T)[..., :2]
 
 
+def _use_pallas_mosaic(cfg: AugmentConfig, h: int, w: int) -> bool:
+    if cfg.use_pallas == "off":
+        return False
+    if float(cfg.mosaic_scale[1]) > 4.0:  # y target-window bound (T <= 9)
+        return False
+    if cfg.use_pallas == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 # ------------------------------------------------------------------ mosaic
 
+def _crop_to_center(coord, lo, hi):
+    # the reference's canvas is exactly 2h x 2w — tile overflow beyond it is
+    # cropped (mosaic_detection.py:101-125). Our margins exist only to keep
+    # dynamic_update_slice from clamp-shifting tiles, so sampling must treat
+    # everything outside the central 2h x 2w window as fill.
+    return jnp.where((coord >= lo) & (coord < hi), coord, -1e9)
+
+
+def _mosaic_geometry(rng, labels4, h, w, cfg: AugmentConfig):
+    """Random mosaic geometry + transformed labels for one image (separable
+    path). Returns (oxw, oyw [4] int32 tile origins in 2Hx2W WINDOW coords,
+    xs_raw [W], ys_raw [H] raw monotonic source coords in window space,
+    cand [4M,5], valid [4M])."""
+    mh, mw = h // 2, w // 2                      # canvas margins
+    k_c, k_aff = jax.random.split(rng)
+    # mosaic center on the 2x canvas (reference uniform(0.5s, 1.5s),
+    # mosaic_detection.py:97-99), in margin-canvas coords (+margin)
+    cx = jax.random.uniform(k_c, (), minval=0.5 * w, maxval=1.5 * w) + mw
+    cy = jax.random.uniform(jax.random.fold_in(k_c, 1), (),
+                            minval=0.5 * h, maxval=1.5 * h) + mh
+    # tiles so their inner corners touch (cx, cy): TL, TR, BL, BR
+    ox = jnp.stack([cx - w, cx, cx - w, cx]).astype(jnp.int32)
+    oy = jnp.stack([cy - h, cy - h, cy, cy]).astype(jnp.int32)
+
+    params = _affine_params(k_aff, cfg)
+    M = _affine_matrix(params, h, w, mh, mw)
+    # x_src(j) = (j - M02)/M00, y_src(i) = (i - M12)/M11, in window coords
+    xs_raw = (jnp.arange(w, dtype=jnp.float32) - M[0, 2]) / M[0, 0] - mw
+    ys_raw = (jnp.arange(h, dtype=jnp.float32) - M[1, 2]) / M[1, 1] - mh
+    cand, valid = _mosaic_labels(M, labels4, ox, oy, h, w, mh, mw)
+    return ox - mw, oy - mh, xs_raw, ys_raw, cand, valid
+
+
+def _paste_window(imgs4, oxw, oyw):
+    """Margin-canvas paste + central 2Hx2W window (jnp fallback path).
+    The paste runs on the [H, W*3] flat view: with C=3 minor the DUS writes
+    use 3/128 lanes; flat rows use all of them."""
+    _, h, w, _ = imgs4.shape
+    mh, mw = h // 2, w // 2
+    ch, cw = 3 * h, 3 * w
+    canvas = jnp.full((ch, cw * 3), FILL, imgs4.dtype)
+    for k in range(4):
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, imgs4[k].reshape(h, w * 3),
+            (oyw[k] + mh, (oxw[k] + mw) * 3))
+    canvas = canvas.reshape(ch, cw, 3)
+    return canvas[mh:mh + 2 * h, mw:mw + 2 * w]
+
+
 def _mosaic_one(rng, imgs4, labels4, cfg: AugmentConfig):
-    """Fused mosaic+affine for one output image.
+    """Fused mosaic+affine for one output image (general-affine path, used
+    when rotation/shear/perspective are configured).
 
     imgs4: [4, H, W, 3] float32, labels4: [4, M, 5] (cls, cx, cy, w, h).
     Returns (out_img [H,W,3], cand_labels [4M, 5], cand_valid [4M]).
@@ -200,46 +270,42 @@ def _mosaic_one(rng, imgs4, labels4, cfg: AugmentConfig):
     mh, mw = h // 2, w // 2                      # canvas margins
     ch, cw = 2 * h + 2 * mh, 2 * w + 2 * mw      # 3h x 3w margin canvas
     k_c, k_aff = jax.random.split(rng)
-    # mosaic center on the 2x canvas (reference uniform(0.5s, 1.5s),
-    # mosaic_detection.py:97-99), in margin-canvas coords (+margin)
     cx = jax.random.uniform(k_c, (), minval=0.5 * w, maxval=1.5 * w) + mw
     cy = jax.random.uniform(jax.random.fold_in(k_c, 1), (),
                             minval=0.5 * h, maxval=1.5 * h) + mh
-
-    # paste tiles so their inner corners touch (cx, cy): TL, TR, BL, BR
     ox = jnp.stack([cx - w, cx, cx - w, cx]).astype(jnp.int32)
     oy = jnp.stack([cy - h, cy - h, cy, cy]).astype(jnp.int32)
-    canvas = jnp.full((ch, cw, 3), FILL, imgs4.dtype)
+    canvas = jnp.full((ch, cw * 3), FILL, imgs4.dtype)
     for k in range(4):
-        canvas = jax.lax.dynamic_update_slice(canvas, imgs4[k],
-                                              (oy[k], ox[k], 0))
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, imgs4[k].reshape(h, w * 3), (oy[k], ox[k] * 3))
+    canvas = canvas.reshape(ch, cw, 3)
 
     params = _affine_params(k_aff, cfg)
     M = _affine_matrix(params, h, w, mh, mw)
 
-    # the reference's canvas is exactly 2h x 2w — tile overflow beyond it is
-    # cropped (mosaic_detection.py:101-125). Our margins exist only to keep
-    # dynamic_update_slice from clamp-shifting tiles, so sampling must treat
-    # everything outside the central 2h x 2w window as fill.
-    def crop_to_center(coord, lo, hi):
-        return jnp.where((coord >= lo) & (coord < hi), coord, -1e9)
-
+    window = canvas[mh:mh + 2 * h, mw:mw + 2 * w]
     if cfg.separable:
-        # x_src(j) = (j - M02)/M00, y_src(i) = (i - M12)/M11
         xs = (jnp.arange(w, dtype=jnp.float32) - M[0, 2]) / M[0, 0]
         ys = (jnp.arange(h, dtype=jnp.float32) - M[1, 2]) / M[1, 1]
-        xs = crop_to_center(xs, mw, mw + 2 * w)
-        ys = crop_to_center(ys, mh, mh + 2 * h)
-        out = separable_bilinear(canvas, xs, ys)
+        xs = _crop_to_center(xs, mw, mw + 2 * w) - mw
+        ys = _crop_to_center(ys, mh, mh + 2 * h) - mh
+        out = separable_bilinear(window, xs, ys)
     else:
         Minv = jnp.linalg.inv(M)
         ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                               jnp.arange(w, dtype=jnp.float32), indexing="ij")
         cpts = _apply_affine_to_points(Minv, jnp.stack([jj, ii], axis=-1))
-        out = bilinear_sample(canvas,
-                              crop_to_center(cpts[..., 0], mw, mw + 2 * w),
-                              crop_to_center(cpts[..., 1], mh, mh + 2 * h))
+        out = bilinear_sample(
+            window,
+            _crop_to_center(cpts[..., 0], mw, mw + 2 * w) - mw,
+            _crop_to_center(cpts[..., 1], mh, mh + 2 * h) - mh)
 
+    cand, valid = _mosaic_labels(M, labels4, ox, oy, h, w, mh, mw)
+    return out, cand, valid
+
+
+def _mosaic_labels(M, labels4, ox, oy, h, w, mh, mw):
     # ---- labels: tile coords -> canvas (+offset) -> affine -> output
     area_scale = jnp.abs(M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0])
     cand, valid = [], []
@@ -273,7 +339,44 @@ def _mosaic_one(rng, imgs4, labels4, cfg: AugmentConfig):
         keep = v & (nw > 2) & (nh > 2) & (ar < 20) & (nw * nh / pre_area > 0.2)
         cand.append(jnp.stack([lab[:, 0], (x1 + x2) / 2, (y1 + y2) / 2, nw, nh], -1))
         valid.append(keep)
-    return out, jnp.concatenate(cand, 0), jnp.concatenate(valid, 0)
+    return jnp.concatenate(cand, 0), jnp.concatenate(valid, 0)
+
+
+def batched_separable(imgs: jax.Array, xs: jax.Array, ys: jax.Array,
+                      fill: float = FILL) -> jax.Array:
+    """Batched separable sampling: imgs [B,H,W,C] at per-image grids
+    ys[b,i] x xs[b,j]. The row pass is ONE flat gather over [B*H, W*C]
+    (a vmapped take lowers to a slow batched-gather); the x-pass is a
+    batched MXU contraction against the 2-sparse interpolation matrices."""
+    b, h, w, c = imgs.shape
+    hout, wout = ys.shape[1], xs.shape[1]
+    vy = (ys >= 0) & (ys <= h - 1)
+    vx = (xs >= 0) & (xs <= w - 1)
+    ys = jnp.clip(ys, 0.0, h - 1)
+    xs = jnp.clip(xs, 0.0, w - 1)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fy = (ys - y0)[..., None].astype(imgs.dtype)
+    flat = imgs.reshape(b * h, w * c)
+    base = (jnp.arange(b, dtype=jnp.int32) * h)[:, None]
+    r0 = jnp.take(flat, (base + y0).reshape(-1), axis=0)
+    r1 = jnp.take(flat, (base + y1).reshape(-1), axis=0)
+    rows = (r0.reshape(b, hout, w * c) * (1 - fy)
+            + r1.reshape(b, hout, w * c) * fy)
+    rows = rows.reshape(b, hout, w, c)
+
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fx = (xs - x0).astype(imgs.dtype)
+    iota = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    sel = ((iota == x0[..., None]) * (1 - fx)[..., None]
+           + (iota == x1[..., None]) * fx[..., None]).astype(imgs.dtype)
+    # out[b,i,j,k] = sum_c rows[b,i,c,k] * sel[b,j,c]
+    out = jax.lax.dot_general(rows, sel, (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=imgs.dtype)
+    out = out.transpose(0, 1, 3, 2)                   # [B,Hout,Wout,C]
+    mask = vy[:, :, None] & vx[:, None, :]
+    return jnp.where(mask[..., None], out, jnp.asarray(fill, imgs.dtype))
 
 
 def _compact_labels(cand: jax.Array, valid: jax.Array, max_labels: int):
@@ -411,46 +514,62 @@ def multiscale_resize(images: jax.Array, labels: jax.Array,
 # ------------------------------------------------------------------ driver
 
 def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
-                 mix_labels, cfg: AugmentConfig, enable=True):
+                 mix_labels, cfg: AugmentConfig, enable=True, mosaic=None):
     """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates.
     `enable` (bool scalar, may be traced) gates mosaic+mixup — the YOLOX
-    no-aug final epochs keep HSV/flip but drop the heavy augs."""
+    no-aug final epochs keep HSV/flip but drop the heavy augs.
+    `mosaic`: optional precomputed (img, cand, valid) from the batched
+    sampling path (separable affines); None computes it here (general
+    affines)."""
     h, w = img.shape[:2]
     k_gate, k_mosaic, k_hsv, k_mixt = jax.random.split(rng, 4)
     gates = jax.random.uniform(k_gate, (4,))
 
-    imgs4 = jnp.concatenate([img[None], partners], axis=0)
-    labels4 = jnp.concatenate([labels[None], partner_labels], axis=0)
-    mo_img, mo_cand, mo_valid = _mosaic_one(k_mosaic, imgs4, labels4, cfg)
-
+    # components with prob == 0 are short-circuited STATICALLY — they never
+    # enter the compiled program (jnp.where gating computes both branches)
     base_valid = jnp.sum(jnp.abs(labels), axis=-1) > 0
-    use_mosaic = (gates[0] < cfg.mosaic_prob) & enable
-    out_img = jnp.where(use_mosaic, mo_img, img)
-    m = labels.shape[0]
-    pad = jnp.zeros((mo_cand.shape[0] - m, 5), labels.dtype)
-    plain_cand = jnp.concatenate([labels, pad], axis=0)
-    plain_valid = jnp.concatenate(
-        [base_valid, jnp.zeros(mo_cand.shape[0] - m, bool)], axis=0)
-    cand = jnp.where(use_mosaic, mo_cand, plain_cand)
-    valid = jnp.where(use_mosaic, mo_valid, plain_valid)
+    if cfg.mosaic_prob > 0:
+        if mosaic is not None:
+            mo_img, mo_cand, mo_valid = mosaic
+        else:
+            imgs4 = jnp.concatenate([img[None], partners], axis=0)
+            labels4 = jnp.concatenate([labels[None], partner_labels], axis=0)
+            mo_img, mo_cand, mo_valid = _mosaic_one(k_mosaic, imgs4,
+                                                    labels4, cfg)
+        use_mosaic = (gates[0] < cfg.mosaic_prob) & enable
+        out_img = jnp.where(use_mosaic, mo_img, img)
+        m = labels.shape[0]
+        pad = jnp.zeros((mo_cand.shape[0] - m, 5), labels.dtype)
+        plain_cand = jnp.concatenate([labels, pad], axis=0)
+        plain_valid = jnp.concatenate(
+            [base_valid, jnp.zeros(mo_cand.shape[0] - m, bool)], axis=0)
+        cand = jnp.where(use_mosaic, mo_cand, plain_cand)
+        valid = jnp.where(use_mosaic, mo_valid, plain_valid)
+    else:
+        use_mosaic = jnp.asarray(False)
+        out_img, cand, valid = img, labels, base_valid
 
     # mixup (reference mosaic_detection.py:140-141: only after mosaic):
     # jit-scale + flip + crop the partner, then 0.5/0.5 blend, labels
     # concatenated (mosaic_detection.py:169-240)
-    use_mix = use_mosaic & (gates[1] < cfg.mixup_prob)
-    mix_t, mix_cand, mix_v = _mixup_transform(k_mixt, mix_img, mix_labels, cfg)
-    out_img = jnp.where(use_mix, 0.5 * out_img + 0.5 * mix_t, out_img)
-    cand = jnp.concatenate([cand, mix_cand], axis=0)
-    valid = jnp.concatenate([valid, mix_v & use_mix], axis=0)
+    if cfg.mixup_prob > 0 and cfg.mosaic_prob > 0:
+        use_mix = use_mosaic & (gates[1] < cfg.mixup_prob)
+        mix_t, mix_cand, mix_v = _mixup_transform(k_mixt, mix_img,
+                                                  mix_labels, cfg)
+        out_img = jnp.where(use_mix, 0.5 * out_img + 0.5 * mix_t, out_img)
+        cand = jnp.concatenate([cand, mix_cand], axis=0)
+        valid = jnp.concatenate([valid, mix_v & use_mix], axis=0)
 
     # HSV (gain-gated: identity gains when the prob gate is off)
-    out_img = hsv_jitter(k_hsv, out_img, enable=gates[2] < cfg.hsv_prob)
+    if cfg.hsv_prob > 0:
+        out_img = hsv_jitter(k_hsv, out_img, enable=gates[2] < cfg.hsv_prob)
 
     # horizontal flip (data_augments.py:125-129)
-    do_flip = gates[3] < cfg.flip_prob
-    out_img = jnp.where(do_flip, out_img[:, ::-1], out_img)
-    flipped_cx = jnp.where(valid, w - cand[:, 1], cand[:, 1])
-    cand = jnp.where(do_flip, cand.at[:, 1].set(flipped_cx), cand)
+    if cfg.flip_prob > 0:
+        do_flip = gates[3] < cfg.flip_prob
+        out_img = jnp.where(do_flip, out_img[:, ::-1], out_img)
+        flipped_cx = jnp.where(valid, w - cand[:, 1], cand[:, 1])
+        cand = jnp.where(do_flip, cand.at[:, 1].set(flipped_cx), cand)
 
     out_labels = _compact_labels(cand, valid, cfg.max_labels)
     return out_img, out_labels
@@ -477,8 +596,41 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
     mix_img = images[mix_idx]
     mix_labels = labels[mix_idx]
     keys = jax.random.split(k_each, b)
-    fn = lambda k, i, l, p, pl, mi, ml: _augment_one(k, i, l, p, pl, mi, ml,
-                                                     cfg, enable=enable)
-    out_imgs, out_labels = jax.vmap(fn)(keys, images, labels, partners,
-                                        partner_labels, mix_img, mix_labels)
+
+    mosaic = None
+    if cfg.mosaic_prob > 0 and cfg.separable:
+        # geometry + labels per image (vmap), pixel sampling BATCHED — on
+        # TPU through the Pallas kernel (gather-free; ops/pallas/
+        # mosaic_pallas.py), else canvas + one flat take. Keys match
+        # _augment_one's split so randomness is identical per path.
+        h, w = images.shape[1:3]
+
+        def prep(key, lab, pl_):
+            k_mosaic = jax.random.split(key, 4)[1]
+            return _mosaic_geometry(
+                k_mosaic, jnp.concatenate([lab[None], pl_], 0), h, w, cfg)
+
+        oxw, oyw, xs_raw, ys_raw, mo_cand, mo_valid = jax.vmap(prep)(
+            keys, labels, partner_labels)
+        tiles = jnp.concatenate([images[:, None], partners], axis=1)
+        if _use_pallas_mosaic(cfg, h, w):
+            from ..ops.pallas.mosaic_pallas import mosaic_sample
+            mo_imgs = mosaic_sample(tiles, oxw, oyw, xs_raw, ys_raw,
+                                    max_scale=float(cfg.mosaic_scale[1]))
+        else:
+            win = jax.vmap(_paste_window)(tiles, oxw, oyw)
+            xs = jnp.where((xs_raw >= 0) & (xs_raw < 2 * w), xs_raw, -1e9)
+            ys = jnp.where((ys_raw >= 0) & (ys_raw < 2 * h), ys_raw, -1e9)
+            mo_imgs = batched_separable(win, xs, ys)
+        mosaic = (mo_imgs, mo_cand, mo_valid)
+
+    fn = lambda k, i, l, p, pl, mi, ml, *mo: _augment_one(
+        k, i, l, p, pl, mi, ml, cfg, enable=enable,
+        mosaic=mo if mo else None)
+    args = (keys, images, labels, partners, partner_labels, mix_img,
+            mix_labels)
+    if mosaic is not None:
+        out_imgs, out_labels = jax.vmap(fn)(*args, *mosaic)
+    else:
+        out_imgs, out_labels = jax.vmap(fn)(*args)
     return out_imgs.astype(jnp.float32), out_labels

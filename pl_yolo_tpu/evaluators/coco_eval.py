@@ -83,6 +83,15 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
     iou_fn(dts, gts) -> [D, G] overrides the bbox IoU (e.g. mask IoU for
     iouType='segm').
     """
+    finite = [d for d in detections
+              if np.isfinite(d["score"]) and np.all(np.isfinite(d["bbox"]))]
+    if len(finite) != len(detections):
+        import warnings
+
+        warnings.warn(f"dropped {len(detections) - len(finite)} non-finite "
+                      "detections before evaluation", RuntimeWarning,
+                      stacklevel=2)
+        detections = finite
     det_by = defaultdict(list)
     for d in detections:
         det_by[(d["image_id"], d["category_id"])].append(d)
@@ -159,7 +168,9 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
                                 # an ignored one (all later gts are ignored)
                                 if bi > -1 and not gig[bi] and gig[gi]:
                                     break
-                                if iou[di, gi] < best:
+                                # NaN-proof: `iou < best` is False for NaN,
+                                # which would match everything
+                                if not (iou[di, gi] >= best):
                                     continue
                                 best, bi = iou[di, gi], gi
                             if bi >= 0:
@@ -223,12 +234,22 @@ def evaluate_coco(detections: list[dict], gts: list[dict],
         r = r[r > -1]
         return float(np.mean(r)) if r.size else -1.0
 
-    return COCOMetrics(
+    m = COCOMetrics(
         AP=_ap(), AP50=_ap(0.5), AP75=_ap(0.75),
         APs=_ap(area="small"), APm=_ap(area="medium"), APl=_ap(area="large"),
         AR1=_ar(md=1), AR10=_ar(md=10), AR100=_ar(md=100),
         ARs=_ar(area="small"), ARm=_ar(area="medium"), ARl=_ar(area="large"),
     )
+    # per-class AP (IoU 0.50:0.95, all areas, maxDets 100) — the COCO-side
+    # analogue of the reference's per-class VOC table (eval_voc.py:155-209)
+    ai0, mi100 = 0, MAX_DETS.index(100)
+    per_class = {}
+    for ci, cat in enumerate(cat_ids):
+        p = precision[:, :, ci, ai0, mi100]
+        p = p[p > -1]
+        per_class[cat] = float(np.mean(p)) if p.size else float("nan")
+    m.per_class_ap = per_class
+    return m
 
 
 class COCOeval:
@@ -291,6 +312,9 @@ def coco_evaluator(json_list: list[dict], dataset) -> tuple[float, float, str]:
     regions) when available — matching the reference, which evaluates against
     the original cocoGt — with a letterbox-unscale fallback for datasets that
     keep only scaled boxes (e.g. VOC-as-COCO)."""
+    names = {cid: n for cid, n in zip(
+        getattr(dataset, "class_ids", []),
+        getattr(dataset, "class_names", []))}
     gts = getattr(dataset, "eval_annotations", None)
     if gts is None:
         gts = []
@@ -307,4 +331,15 @@ def coco_evaluator(json_list: list[dict], dataset) -> tuple[float, float, str]:
     if not json_list:
         return 0.0, 0.0, "no detections"
     m = evaluate_coco(json_list, gts)
-    return m["AP"], m["AP50"], m.summary
+    summary = m.summary
+    per_class = getattr(m, "per_class_ap", None)
+    if per_class:
+        # per-class AP table (the COCO-side analogue of the reference's
+        # per-class VOC report, eval_voc.py:155-209)
+        rows = [f" {names.get(cid, cid):>24} | {ap:0.3f}"
+                for cid, ap in sorted(per_class.items())
+                if np.isfinite(ap)]
+        if rows:
+            summary += ("\n per-class AP (IoU=0.50:0.95):\n"
+                        + "\n".join(rows))
+    return m["AP"], m["AP50"], summary

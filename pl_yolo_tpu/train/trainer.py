@@ -223,6 +223,17 @@ class Trainer:
                         metrics = {k: float(v) for k, v in losses.items()}
                         metrics["lr"] = float(self._schedule(step))
                         self.logger.log_metrics(metrics, step)
+                        if not np.isfinite(metrics["loss"]):
+                            # sanitizer (SURVEY §5): fail loudly with a
+                            # debug checkpoint instead of training on NaNs
+                            self._save(epoch, {"mAP": self.best_map,
+                                               "nan": 1.0})
+                            self.ckpt.wait()
+                            loader.close()
+                            raise FloatingPointError(
+                                f"non-finite loss at step {step}: {metrics}"
+                                " — debug checkpoint saved; rerun with"
+                                " --debug_nans to locate the op")
                     if self._preempted:
                         self._save(epoch, {"mAP": self.best_map,
                                            "preempted": 1.0})

@@ -137,3 +137,23 @@ def test_format_outputs_unscales_letterbox():
     assert j["bbox"] == [200.0, 100.0, 200.0, 200.0]  # /0.5, xywh
     assert det_list[0][2].shape == (1, 5)
     assert det_list[0][0].shape == (0, 5)
+
+
+def test_nonfinite_detections_do_not_inflate_ap():
+    """NaN boxes must not match GTs (NaN IoU comparisons) — a diverged model
+    should score ~0, not 1.0 (found via derisk run)."""
+    import warnings
+
+    from pl_yolo_tpu.evaluators.coco_eval import evaluate_coco
+
+    gts = [{"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]}]
+    dets = [
+        {"image_id": 1, "category_id": 1,
+         "bbox": [float("nan")] * 4, "score": 0.9},
+        {"image_id": 1, "category_id": 1,
+         "bbox": [100.0, 100.0, 5.0, 5.0], "score": float("nan")},
+    ]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = evaluate_coco(dets, gts)
+    assert m["AP"] == 0.0 and m["AP50"] == 0.0

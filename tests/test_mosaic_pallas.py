@@ -1,0 +1,72 @@
+"""Pallas mosaic-sampling kernel vs the jnp canvas+sampler path (exact
+equivalence in interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pl_yolo_tpu.data.augment import FILL, batched_separable
+from pl_yolo_tpu.ops.pallas.mosaic_pallas import mosaic_sample
+
+
+def _geometry(rng, b, h, w, scale):
+    """Random mosaic geometry mirroring _mosaic_prepare's distributions."""
+    oxw, oyw, xs, ys = [], [], [], []
+    for _ in range(b):
+        cxw = int(rng.integers(w // 2, 3 * w // 2 + 1))
+        cyw = int(rng.integers(h // 2, 3 * h // 2 + 1))
+        oxw.append([cxw - w, cxw, cxw - w, cxw])
+        oyw.append([cyw - h, cyw - h, cyw, cyw])
+        s = float(rng.uniform(*scale))
+        tx = float(rng.uniform(0.4, 0.6)) * w
+        ty = float(rng.uniform(0.4, 0.6)) * h
+        # window coords: src = (dst - t)/s + center-ish (matches the
+        # separable affine inverse's form; exact constants don't matter
+        # for the equivalence check)
+        xs.append((np.arange(w) - tx) / s + w * 0.5)
+        ys.append((np.arange(h) - ty) / s + h * 0.5)
+    return (np.asarray(oxw, np.int32), np.asarray(oyw, np.int32),
+            np.asarray(xs, np.float32), np.asarray(ys, np.float32))
+
+
+def _reference(tiles, oxw, oyw, xs_raw, ys_raw):
+    """Canvas-paste + batched separable sampling (the jnp path)."""
+    b, _, h, w, _ = tiles.shape
+    mh, mw = h // 2, w // 2
+    canvas = np.full((b, 3 * h, 3 * w, 3), FILL, tiles.dtype)
+    for i in range(b):
+        for k in range(4):
+            y, x = oyw[i, k] + mh, oxw[i, k] + mw
+            canvas[i, y:y + h, x:x + w] = tiles[i, k]
+    window = canvas[:, mh:mh + 2 * h, mw:mw + 2 * w]
+    xs = np.where((xs_raw >= 0) & (xs_raw < 2 * w), xs_raw, -1e9)
+    ys = np.where((ys_raw >= 0) & (ys_raw < 2 * h), ys_raw, -1e9)
+    return np.asarray(batched_separable(
+        jnp.asarray(window), jnp.asarray(xs), jnp.asarray(ys)))
+
+
+@pytest.mark.parametrize("scale", [(0.6, 0.9), (1.2, 1.9), (0.5, 2.0)])
+def test_kernel_matches_jnp_path(scale):
+    rng = np.random.default_rng(hash(scale) % 2**31)
+    b, h, w = 2, 64, 64
+    tiles = rng.uniform(0, 255, (b, 4, h, w, 3)).astype(np.float32)
+    oxw, oyw, xs, ys = _geometry(rng, b, h, w, scale)
+    want = _reference(tiles, oxw, oyw, xs, ys)
+    got = np.asarray(mosaic_sample(
+        jnp.asarray(tiles), jnp.asarray(oxw), jnp.asarray(oyw),
+        jnp.asarray(xs), jnp.asarray(ys), max_scale=2.0, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_kernel_bf16():
+    rng = np.random.default_rng(5)
+    b, h, w = 2, 64, 64
+    tiles = rng.uniform(0, 255, (b, 4, h, w, 3)).astype(np.float32)
+    oxw, oyw, xs, ys = _geometry(rng, b, h, w, (0.8, 1.5))
+    want = _reference(tiles, oxw, oyw, xs, ys)
+    got = np.asarray(mosaic_sample(
+        jnp.asarray(tiles, jnp.bfloat16), jnp.asarray(oxw), jnp.asarray(oyw),
+        jnp.asarray(xs), jnp.asarray(ys), interpret=True)).astype(np.float32)
+    # bf16 pixels: ~1 grey-level tolerance
+    np.testing.assert_allclose(got, want, atol=2.5)
