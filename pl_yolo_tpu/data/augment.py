@@ -446,18 +446,11 @@ def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4, enable=None):
 
 # ------------------------------------------------------------------- mixup
 
-def _mixup_transform(rng, img, labels, cfg: AugmentConfig):
-    """Reference mixup partner jitter (mosaic_detection.py:169-240): resize
-    the letterboxed partner by jit_factor ~ U(*mixup_scale), 50% horizontal
-    flip, zero-pad, random-crop back to (h, w); boxes are scaled, flipped
-    about the scaled width, offset and clipped the same way.
-
-    Runs device-side as one separable bilinear sample (the scale+crop is an
-    axis-aligned affine). Deviations from the host reference: the crop offset
-    is continuous-uniform rather than randint, and degenerate boxes (w or h
-    <= 1px after clipping) are masked invalid — the reference feeds zero-area
-    clipped boxes to its loss."""
-    h, w = img.shape[:2]
+def _mixup_geometry(rng, labels, cfg: AugmentConfig, h: int, w: int):
+    """Mixup partner geometry + transformed labels (no pixels): sample
+    coordinates (xs [W], ys [H]) for the jit-scale/flip/crop warp plus the
+    matching label candidates. Split from the pixel sampling so the batch
+    path can run all partners through one Pallas warp_sample call."""
     kf, kflip, ky, kx = jax.random.split(rng, 4)
     f = jax.random.uniform(kf, (), minval=cfg.mixup_scale[0],
                            maxval=cfg.mixup_scale[1])
@@ -469,7 +462,6 @@ def _mixup_transform(rng, img, labels, cfg: AugmentConfig):
     xj = jnp.where(flip, (sw - 1.0) - xj, xj)
     xs = (xj + 0.5) / f - 0.5                         # cv2-convention centers
     ys = (jnp.arange(h, dtype=jnp.float32) + y_off + 0.5) / f - 0.5
-    out = separable_bilinear(img, xs, ys, fill=0.0)   # pad canvas is zeros
 
     v = jnp.sum(jnp.abs(labels), axis=-1) > 0
     cx, cy = labels[:, 1] * f, labels[:, 2] * f
@@ -484,7 +476,24 @@ def _mixup_transform(rng, img, labels, cfg: AugmentConfig):
     nw, nh = x2n - x1n, y2n - y1n
     cand = jnp.stack(
         [labels[:, 0], (x1n + x2n) / 2, (y1n + y2n) / 2, nw, nh], -1)
-    return out, cand, v & (nw > 1) & (nh > 1)
+    return xs, ys, cand, v & (nw > 1) & (nh > 1)
+
+
+def _mixup_transform(rng, img, labels, cfg: AugmentConfig):
+    """Reference mixup partner jitter (mosaic_detection.py:169-240): resize
+    the letterboxed partner by jit_factor ~ U(*mixup_scale), 50% horizontal
+    flip, zero-pad, random-crop back to (h, w); boxes are scaled, flipped
+    about the scaled width, offset and clipped the same way.
+
+    Runs device-side as one separable bilinear sample (the scale+crop is an
+    axis-aligned affine). Deviations from the host reference: the crop offset
+    is continuous-uniform rather than randint, and degenerate boxes (w or h
+    <= 1px after clipping) are masked invalid — the reference feeds zero-area
+    clipped boxes to its loss."""
+    h, w = img.shape[:2]
+    xs, ys, cand, v = _mixup_geometry(rng, labels, cfg, h, w)
+    out = separable_bilinear(img, xs, ys, fill=0.0)   # pad canvas is zeros
+    return out, cand, v
 
 
 # -------------------------------------------------------------- multiscale
@@ -514,13 +523,15 @@ def multiscale_resize(images: jax.Array, labels: jax.Array,
 # ------------------------------------------------------------------ driver
 
 def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
-                 mix_labels, cfg: AugmentConfig, enable=True, mosaic=None):
+                 mix_labels, cfg: AugmentConfig, enable=True, mosaic=None,
+                 mixup=None):
     """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates.
     `enable` (bool scalar, may be traced) gates mosaic+mixup — the YOLOX
     no-aug final epochs keep HSV/flip but drop the heavy augs.
     `mosaic`: optional precomputed (img, cand, valid) from the batched
     sampling path (separable affines); None computes it here (general
-    affines)."""
+    affines). `mixup`: optional precomputed partner (img, cand, valid) from
+    the batched Pallas warp path; None samples it here."""
     h, w = img.shape[:2]
     k_gate, k_mosaic, k_hsv, k_mixt = jax.random.split(rng, 4)
     gates = jax.random.uniform(k_gate, (4,))
@@ -554,8 +565,11 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
     # concatenated (mosaic_detection.py:169-240)
     if cfg.mixup_prob > 0 and cfg.mosaic_prob > 0:
         use_mix = use_mosaic & (gates[1] < cfg.mixup_prob)
-        mix_t, mix_cand, mix_v = _mixup_transform(k_mixt, mix_img,
-                                                  mix_labels, cfg)
+        if mixup is not None:
+            mix_t, mix_cand, mix_v = mixup
+        else:
+            mix_t, mix_cand, mix_v = _mixup_transform(k_mixt, mix_img,
+                                                      mix_labels, cfg)
         out_img = jnp.where(use_mix, 0.5 * out_img + 0.5 * mix_t, out_img)
         cand = jnp.concatenate([cand, mix_cand], axis=0)
         valid = jnp.concatenate([valid, mix_v & use_mix], axis=0)
@@ -624,13 +638,31 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
             mo_imgs = batched_separable(win, xs, ys)
         mosaic = (mo_imgs, mo_cand, mo_valid)
 
-    fn = lambda k, i, l, p, pl, mi, ml, *mo: _augment_one(
+    mixup = None
+    if (cfg.mixup_prob > 0 and cfg.mosaic_prob > 0
+            and _use_pallas_mosaic(cfg, *images.shape[1:3])):
+        # batch the partner jit-scale/flip/crop through ONE Pallas warp
+        # (the per-image take-based sampler measured ~11 ms of the 41 ms
+        # augment step @ B64/640). Keys mirror _augment_one's split.
+        h, w = images.shape[1:3]
+
+        def mixprep(key, ml):
+            k_mixt = jax.random.split(key, 4)[3]
+            return _mixup_geometry(k_mixt, ml, cfg, h, w)
+
+        mxs, mys, mix_cand, mix_v = jax.vmap(mixprep)(keys, mix_labels)
+        from ..ops.pallas.mosaic_pallas import warp_sample
+        mix_t = warp_sample(mix_img, mxs, mys, fill=0.0)
+        mixup = (mix_t, mix_cand, mix_v)
+
+    n_mo = 0 if mosaic is None else 3
+    fn = lambda k, i, l, p, pl, mi, ml, *extra: _augment_one(
         k, i, l, p, pl, mi, ml, cfg, enable=enable,
-        mosaic=mo if mo else None)
+        mosaic=extra[:n_mo] if n_mo else None,
+        mixup=extra[n_mo:] if len(extra) > n_mo else None)
     args = (keys, images, labels, partners, partner_labels, mix_img,
             mix_labels)
-    if mosaic is not None:
-        out_imgs, out_labels = jax.vmap(fn)(*args, *mosaic)
-    else:
-        out_imgs, out_labels = jax.vmap(fn)(*args)
+    extra = (tuple(mosaic) if mosaic is not None else ()) + (
+        tuple(mixup) if mixup is not None else ())
+    out_imgs, out_labels = jax.vmap(fn)(*args, *extra)
     return out_imgs.astype(jnp.float32), out_labels

@@ -43,9 +43,10 @@ FILL = 114.0
 def _mosaic_kernel(x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref, y1_ref,
                    wy0_ref, wy1_ref, covy_ref, covx3_ref, tiles_ref,
                    out_ref, sel_scr, *, blk_rows: int, tile_w: int,
-                   out_w: int):
+                   out_w: int, fill: float):
     k = pl.program_id(1)
     blk = pl.program_id(2)
+    nk = pl.num_programs(1)
     nblk = pl.num_programs(2)
 
     @pl.when((k == 0) & (blk == 0))
@@ -89,19 +90,21 @@ def _mosaic_kernel(x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref, y1_ref,
         out_ref[0, :, c * out_w:(c + 1) * out_w] += contrib.astype(
             out_ref.dtype)
 
-    @pl.when((k == 3) & (blk == nblk - 1))
+    @pl.when((k == nk - 1) & (blk == nblk - 1))
     def _fill():
         cov = covy_ref[0] * covx3_ref[0]                   # (h,1)*(1,3w)
-        out_ref[0] += (FILL * (1.0 - cov)).astype(out_ref.dtype)
+        out_ref[0] += (fill * (1.0 - cov)).astype(out_ref.dtype)
 
 
 def _taps(coords, origins, n, hi):
     """Per-tile 2-sparse bilinear taps along one axis.
 
-    coords [L] raw monotonic source coords in window space; origins [4] tile
-    origins; n tile extent; hi window extent (2n). Returns per-tile local tap
-    indices t0/t1 [4, L] (clipped) and weights w0/w1 [4, L] (masked to zero
-    outside the tile / outside the window), plus the any-tile coverage [L]."""
+    coords [L] raw source coords (any order — everything is elementwise, so
+    flipped/decreasing grids are fine); origins [K] tile origins; n tile
+    extent; hi sampling-window extent (2n for the mosaic window, n for a
+    plain warp). Returns per-tile local tap indices t0/t1 [K, L] (clipped)
+    and weights w0/w1 [K, L] (masked to zero outside the tile / outside the
+    window), plus the any-tile coverage [L]."""
     v = (coords >= 0) & (coords <= hi - 1)
     csc = jnp.clip(coords, 0.0, float(hi - 1))
     g0 = jnp.floor(csc).astype(jnp.int32)                  # global window idx
@@ -109,7 +112,7 @@ def _taps(coords, origins, n, hi):
     g1 = g0 + 1
 
     t0s, t1s, w0s, w1s = [], [], [], []
-    for k in range(4):
+    for k in range(origins.shape[0]):
         a0 = g0 - origins[k]
         a1 = g1 - origins[k]
         in0 = (a0 >= 0) & (a0 < n)
@@ -121,7 +124,7 @@ def _taps(coords, origins, n, hi):
 
     def in_any(g):
         hit = jnp.zeros(g.shape, bool)
-        for k in range(4):
+        for k in range(origins.shape[0]):
             hit = hit | ((g - origins[k] >= 0) & (g - origins[k] < n))
         return hit
 
@@ -130,7 +133,7 @@ def _taps(coords, origins, n, hi):
             cov)
 
 
-def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w):
+def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w, hix, hiy):
     """Per-image (vmapped) kernel inputs from the mosaic geometry — pure
     elementwise math, no gathers/searchsorted (those dominated an earlier
     row-sparse formulation at ~49 ms; this is <1 ms @ B64).
@@ -140,50 +143,41 @@ def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w):
     window columns and tiles 0/2 the rows (quadrant layout), so the x taps
     only differ between column-pair {0,2} and {1,3}, same for y — but we keep
     all 4 for clarity; the prep is trivially cheap."""
-    x0, x1, wx0, wx1, covx = _taps(xs_raw, oxw, w, 2 * w)
-    y0, y1, wy0, wy1, covy = _taps(ys_raw, oyw, h, 2 * h)
+    x0, x1, wx0, wx1, covx = _taps(xs_raw, oxw, w, hix)
+    y0, y1, wy0, wy1, covy = _taps(ys_raw, oyw, h, hiy)
     covx3 = jnp.tile(covx, 3)                              # c-major [3*w]
     return x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3
 
 
-def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
-                  xs_raw: jax.Array, ys_raw: jax.Array,
-                  max_scale: float = 2.0,
-                  interpret: bool = False) -> jax.Array:
-    """Batched mosaic sampling.
-
-    tiles [B, 4, H, W, 3] (pixel dtype), oxw/oyw [B, 4] int32 tile origins in
-    window coords, xs_raw/ys_raw [B, W]/[B, H] float source coordinates
-    (monotonic increasing, uncropped). Returns [B, H, W, 3]. max_scale is
-    accepted for API stability but unused (the column-tap y-pass has no
-    target-window bound)."""
-    del max_scale
-    b, _, h, w, _ = tiles.shape
+def _warp_tiles(tiles, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill, interpret):
+    """Shared core: sample K tiles onto one output grid (see module doc)."""
+    b, nk, h, w, _ = tiles.shape
     blk = 64 if h % 64 == 0 else h
     nblk = h // blk
     dtype = tiles.dtype
 
     x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3 = jax.vmap(
-        functools.partial(_prepare_inputs, h=h, w=w)
+        functools.partial(_prepare_inputs, h=h, w=w, hix=hix, hiy=hiy)
     )(oxw, oyw, xs_raw, ys_raw)
     # channel-major rows (lane = c*w + x): each channel is a 128-aligned
     # lane slice inside the kernel. bf16 before the transpose halves the
     # relayout traffic; the matmuls use bf16 operands anyway.
     cast = tiles.astype(jnp.bfloat16) if dtype == jnp.float32 else tiles
-    tiles_flat = cast.transpose(0, 1, 2, 4, 3).reshape(b, 4, h, 3 * w)
+    tiles_flat = cast.transpose(0, 1, 2, 4, 3).reshape(b, nk, h, 3 * w)
 
-    kern = functools.partial(_mosaic_kernel, blk_rows=blk, tile_w=w, out_w=w)
+    kern = functools.partial(_mosaic_kernel, blk_rows=blk, tile_w=w, out_w=w,
+                             fill=fill)
     # Mosaic constraint: the last two dims of every block must be divisible
     # by (8, 128) or equal the full array dims — small per-image vectors get
     # unit dims so "equal the full dim" holds trivially. Row vectors ship as
-    # [B,4,1,w] (read (1,w)), column vectors as [B,4,h,1] (read (h,1)).
+    # [B,K,1,w] (read (1,w)), column vectors as [B,K,h,1] (read (h,1)).
     rowv = pl.BlockSpec((1, 1, 1, w), lambda b_, k, j: (b_, k, 0, 0),
                         memory_space=pltpu.VMEM)
     colv = pl.BlockSpec((1, 1, h, 1), lambda b_, k, j: (b_, k, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(b, 4, nblk),
+        grid=(b, nk, nblk),
         in_specs=[
             rowv, rowv, rowv, rowv,                        # x0 x1 wx0 wx1
             colv, colv, colv, colv,                        # y0 y1 wy0 wy1
@@ -208,3 +202,34 @@ def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
       covy[:, :, None], covx3[:, None], tiles_flat)
     # rows are c-major [c][j]: split and move channels last
     return out.reshape(b, h, 3, w).transpose(0, 1, 3, 2)
+
+
+def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
+                  xs_raw: jax.Array, ys_raw: jax.Array,
+                  max_scale: float = 2.0,
+                  interpret: bool = False) -> jax.Array:
+    """Batched mosaic sampling.
+
+    tiles [B, 4, H, W, 3] (pixel dtype), oxw/oyw [B, 4] int32 tile origins in
+    window coords, xs_raw/ys_raw [B, W]/[B, H] float source coordinates
+    (uncropped; sampled over the central 2Hx2W window). Returns [B, H, W, 3].
+    max_scale is accepted for API stability but unused (the column-tap
+    y-pass has no target-window bound)."""
+    del max_scale
+    _, _, h, w, _ = tiles.shape
+    return _warp_tiles(tiles, oxw, oyw, xs_raw, ys_raw,
+                       hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
+
+
+def warp_sample(imgs: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
+                fill: float = 0.0, interpret: bool = False) -> jax.Array:
+    """Batched separable warp of single images (the 1-tile case): imgs
+    [B, H, W, 3] sampled at per-image grids ys[b, i] x xs[b, j], out-of-range
+    taps -> `fill`. Exactly matches data/augment.py::separable_bilinear's
+    edge semantics (coords valid on [0, n-1], no partial edge blends), with
+    bf16-operand matmul rounding (~1 grey level). Coords may be decreasing
+    (flips) — the taps are elementwise per output row/column."""
+    b, h, w, _ = imgs.shape
+    zeros = jnp.zeros((b, 1), jnp.int32)
+    return _warp_tiles(imgs[:, None], zeros, zeros, xs_raw, ys_raw,
+                       hix=w, hiy=h, fill=fill, interpret=interpret)

@@ -1,22 +1,44 @@
-"""Hierarchical top-k along the last dim — TPU-fast exact top-k.
+"""TPU-fast exact top-k along the last dim.
 
 XLA's top_k over long rows (e.g. the 8400-anchor axis in SimOTA) lowers to a
-full sort; splitting into fixed blocks, taking per-block top-k, then top-k of
-the survivors is exact for k <= block and ~2.4x faster at the shapes the
-losses use (measured 17ms -> 7ms for [32,50,8400], k=10, block=64)."""
+full sort (31.7 ms at [64,50,8400], k=10 on v5e). Two exact alternatives:
+
+* iterative max-extraction (k fused max/argmax passes over a carried
+  `removed` mask, tie-safe via argmax one-hot): 4.8 ms at the same shape —
+  best for the small k the losses use;
+* blockwise hierarchy (per-block top-k, then top-k of survivors): 12.0 ms,
+  scales to larger k (used when k > ITER_K_MAX).
+"""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
+ITER_K_MAX = 16  # beyond this the k reduce passes outweigh the block sort
+
+
+def _topk_iter(x: jax.Array, k: int) -> jax.Array:
+    """Exact top-k by repeated max-extraction; ties broken by first index
+    (same ordering as a stable descending sort)."""
+    removed = jnp.zeros(x.shape, bool)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    outs = []
+    for _ in range(k):
+        cur = jnp.where(removed, -jnp.inf, x)
+        outs.append(jnp.max(cur, axis=-1))
+        idx = jnp.argmax(cur, axis=-1)
+        removed = removed | (iota == idx[..., None])
+    return jnp.stack(outs, axis=-1)
+
 
 def topk_lastdim(x: jax.Array, k: int, block: int = 64) -> jax.Array:
-    """Exact top-k values (descending) along the last dim. Requires
-    k <= block. Returns [..., k]."""
+    """Exact top-k values (descending) along the last dim. Returns [..., k]."""
     *lead, a = x.shape
     if a <= block:
         return jax.lax.top_k(x, min(k, a))[0]
+    if k <= ITER_K_MAX:
+        return _topk_iter(x, k)
     assert k <= block
     pad = (-a) % block
     if pad:

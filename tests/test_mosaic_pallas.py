@@ -75,3 +75,36 @@ def test_kernel_bf16():
         jnp.asarray(xs), jnp.asarray(ys), interpret=True)).astype(np.float32)
     # bf16 pixels + bf16 operands: a few grey levels
     np.testing.assert_allclose(got, want, atol=4.0)
+
+
+def test_warp_sample_matches_separable_bilinear():
+    """1-tile warp (mixup partner path): kernel == jnp sampler, including
+    flipped (decreasing) grids and out-of-range fill."""
+    from pl_yolo_tpu.data.augment import separable_bilinear
+    from pl_yolo_tpu.ops.pallas.mosaic_pallas import warp_sample
+
+    rng = np.random.default_rng(11)
+    b, h, w = 3, 64, 64
+    imgs = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    xs, ys = [], []
+    for i in range(b):
+        f = rng.uniform(0.5, 1.5)
+        xo = rng.uniform(0, max(w * f - w, 0))
+        yo = rng.uniform(0, max(h * f - h, 0))
+        x = (np.arange(w) + xo + 0.5) / f - 0.5
+        if i % 2:
+            x = x[::-1].copy()          # flip: decreasing coords
+        xs.append(x)
+        ys.append((np.arange(h) + yo + 0.5) / f - 0.5)
+    xs = np.asarray(xs, np.float32)
+    ys = np.asarray(ys, np.float32)
+
+    want = np.stack([
+        np.asarray(separable_bilinear(jnp.asarray(imgs[i]),
+                                      jnp.asarray(xs[i]),
+                                      jnp.asarray(ys[i]), fill=0.0))
+        for i in range(b)])
+    got = np.asarray(warp_sample(jnp.asarray(imgs), jnp.asarray(xs),
+                                 jnp.asarray(ys), fill=0.0, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3.0)  # bf16 operand rounding
+    assert np.mean(np.abs(got - want)) < 0.5
