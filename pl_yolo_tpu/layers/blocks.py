@@ -146,17 +146,76 @@ def space_to_depth(x: jax.Array) -> jax.Array:
     return x.reshape(b, h // 2, w // 2, 4 * c)
 
 
+class _ConvParams(nn.Module):
+    """Declares a conv kernel without applying it, so the fused Focus stem's
+    param tree stays identical to ConvBlock's (Focus/conv/conv/kernel)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        # same default initializer as flax nn.Conv
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _FusedFocusBlock(nn.Module):
+    """ConvBlock(ksize=3, stride=1)-compatible block that applies the exact
+    6x6-stride-2 equivalent of [space_to_depth -> 3x3 conv] directly on the
+    raw input: output (i,j) of the s2d+3x3 pipeline reads input rows
+    2i-2..2i+3 (a 6x6 window at stride 2, pad 2), so the 3x3x(4c) kernel
+    rearranges losslessly into a 6x6xc kernel. Skips the s2d relayout
+    (strided slices + concat) that XLA would otherwise materialize."""
+
+    out_channels: int
+    norm: str | None = "bn"
+    act: str | None = "silu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dtype = get_compute_dtype()
+        c = x.shape[-1]
+        w = _ConvParams((3, 3, 4 * c, self.out_channels), name="conv")()
+        # s2d channel q = px*2c + py*c + ch (space_to_depth puts the column
+        # parity axis before the row parity axis); the equivalent kernel is
+        # W6[2ky+py, 2kx+px, ch, o] = w[ky, kx, q, o]
+        w = w.reshape(3, 3, 2, 2, c, self.out_channels)   # (ky,kx,px,py,c,o)
+        w = w.transpose(0, 3, 1, 2, 4, 5)                 # (ky,py,kx,px,c,o)
+        w6 = w.reshape(6, 6, c, self.out_channels)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), w6.astype(dtype), (2, 2), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.norm == "bn":
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=dtype, name="bn")(y)
+        elif self.norm == "ln":
+            y = nn.LayerNorm(dtype=dtype, name="ln")(y)
+        elif self.norm not in (None, "none"):
+            raise ValueError(f"Unsupported norm: {self.norm}")
+        return get_activation(self.act)(y)
+
+
 class Focus(nn.Module):
-    """Space-to-depth stem (reference Focus, network_blocks.py:43-65)."""
+    """Space-to-depth stem (reference Focus, network_blocks.py:43-65).
+
+    With `fused=True` (default) and the standard (ksize=3, stride=1) config,
+    runs as the exact 6x6-s2 reparameterization (see _FusedFocusBlock) —
+    bit-identical params, same math, no s2d relayout."""
 
     out_channels: int
     ksize: int = 1
     stride: int = 1
     norm: str | None = "bn"
     act: str | None = "silu"
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.fused and self.ksize == 3 and self.stride == 1:
+            return _FusedFocusBlock(
+                self.out_channels, norm=self.norm, act=self.act,
+                name="conv")(x, train)
         x = space_to_depth(x)
         return ConvBlock(
             self.out_channels, ksize=self.ksize, stride=self.stride,

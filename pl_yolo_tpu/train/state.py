@@ -69,6 +69,7 @@ def make_train_step(
     use_ema: bool = True,
     augment_fn: Callable | None = None,
     donate: bool = True,
+    sanitize: bool = False,
 ):
     """Build the jitted train step.
 
@@ -112,6 +113,17 @@ def make_train_step(
             return losses["loss"], (losses, mutated["batch_stats"])
 
         grads, (losses, new_stats) = jax.grad(compute_loss, has_aux=True)(state.params)
+        if sanitize:
+            # in-step sanitizer (beyond the reference's detect_anomaly flag,
+            # SURVEY §5): global grad norm + non-finite leaf-element count,
+            # computed device-side and logged with the losses — no host sync
+            sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                     for g in jax.tree.leaves(grads))
+            bad = sum(jnp.sum(~jnp.isfinite(g))
+                      for g in jax.tree.leaves(grads))
+            losses = dict(losses,
+                          grad_norm=jnp.sqrt(sq),
+                          nonfinite_grads=bad.astype(jnp.float32))
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_step = state.step + 1

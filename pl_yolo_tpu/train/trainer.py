@@ -53,6 +53,7 @@ class Trainer:
         log_every_n_steps: int = 50,
         save_top_k: int = 2,
         cache_images: bool = False,
+        sanitize: bool = False,
     ):
         self.model_cfg = model_cfg
         self.data_cfg = data_cfg
@@ -60,6 +61,7 @@ class Trainer:
         self.check_val_every = check_val_every_n_epoch
         self.seed = seed
         self.log_every = log_every_n_steps
+        self.sanitize = sanitize
         name = experiment_name or model_cfg.get("name", "exp")
         self.out_dir = Path(output_dir) / name
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -161,7 +163,8 @@ class Trainer:
                     return multiscale_resize(imgs, labs, out_hw)
             return make_train_step(
                 self.model.module.apply, self.model.loss.train_loss,
-                use_ema=self.use_ema, augment_fn=aug)
+                use_ema=self.use_ema, augment_fn=aug,
+                sanitize=self.sanitize)
 
         base_hw = tuple(self.datamodule.train_size)
         if ms_sizes:
@@ -244,6 +247,15 @@ class Trainer:
                         return
                 # epoch-end: one sync to report the last step's losses
                 last_loss = float(losses["loss"]) if losses is not None else float("nan")
+                if self.sanitize and losses is not None:
+                    bad = float(losses.get("nonfinite_grads", 0.0))
+                    gn = float(losses.get("grad_norm", float("nan")))
+                    self.logger.log_metrics(
+                        {"grad_norm": gn, "nonfinite_grads": bad}, step)
+                    if bad > 0 or not np.isfinite(last_loss):
+                        print(f"[sanitize] WARNING epoch {epoch}: "
+                              f"{int(bad)} non-finite grad elements, "
+                              f"loss={last_loss}, grad_norm={gn}")
                 dt = time.time() - t0
                 ips = steps_per_epoch * self.datamodule.train_batch_size / dt
                 print(f"epoch {epoch}: {dt:.1f}s ({ips:.1f} img/s) "

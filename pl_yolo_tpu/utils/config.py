@@ -70,6 +70,9 @@ def train_argument_parser() -> argparse.ArgumentParser:
                    help="override the 300-epoch default")
     p.add_argument("--output_dir", type=str, default="./runs")
     p.add_argument("--seed", type=int, default=96)
+    p.add_argument("--sanitize", action="store_true",
+                   help="log device-side grad norm + non-finite grad counts "
+                        "each epoch (in-step sanitizer)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax debug_nans (the TPU equivalent of the "
                         "reference's commented-out detect_anomaly, "

@@ -75,3 +75,27 @@ def test_batchnorm_updates_stats_in_train_mode():
     before = variables["batch_stats"]["bn"]["mean"]
     after = updated["batch_stats"]["bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_focus_fused_equals_s2d_path():
+    """The 6x6-s2 fused Focus stem is an exact reparameterization of
+    space_to_depth + 3x3 conv: same param tree, same outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pl_yolo_tpu.layers.blocks import Focus
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        0, 1, (2, 16, 20, 3)).astype(np.float32))
+    ref = Focus(8, ksize=3, stride=1, fused=False)
+    fus = Focus(8, ksize=3, stride=1, fused=True)
+    v_ref = ref.init(jax.random.key(0), x)
+    v_fus = fus.init(jax.random.key(0), x)
+    assert (jax.tree.structure(v_ref) == jax.tree.structure(v_fus))
+    assert all(a.shape == b.shape for a, b in
+               zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_fus)))
+    y_ref = ref.apply(v_ref, x)
+    y_fus = fus.apply(v_ref, x)   # same params through the fused path
+    assert y_ref.shape == y_fus.shape == (2, 8, 10, 8)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fus),
+                               atol=1e-5)

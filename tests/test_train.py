@@ -130,3 +130,19 @@ def test_weight_decay_masks_bn_params():
     assert mask["conv"]["kernel"] is True
     assert mask["conv"]["bias"] is False
     assert mask["bn"]["scale"] is False
+
+
+def test_train_step_sanitizer_metrics():
+    """sanitize=True adds device-side grad_norm + nonfinite_grads to the
+    step metrics (in-step sanitizer, SURVEY §5 aux systems)."""
+    model, state = _make_state(TINY_CFG)
+    step = make_train_step(model.module.apply, model.loss.train_loss,
+                           sanitize=True)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[0, 0] = [1, 32, 32, 24, 24]
+    state, losses = step(state, images, jnp.asarray(labels), jax.random.key(0))
+    assert float(losses["nonfinite_grads"]) == 0.0
+    assert np.isfinite(float(losses["grad_norm"]))
+    assert float(losses["grad_norm"]) > 0.0

@@ -37,6 +37,7 @@ def main():
         experiment_name=args.experiment_name,
         logger=args.logger,
         seed=args.seed,
+        sanitize=args.sanitize,
     )
 
     if args.test:
