@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...layers.drops import DropPath
+
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
     """[B, H, W, C] -> [B*nW, ws*ws, C]."""
@@ -86,13 +88,15 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """W-MSA / SW-MSA block (swin_transformer.py:178-277)."""
+    """W-MSA / SW-MSA block (swin_transformer.py:178-277), with stochastic
+    depth on both residual branches (reference drop_path, :207,264-266)."""
 
     dim: int
     num_heads: int
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_mask: jax.Array | None,
@@ -110,12 +114,13 @@ class SwinBlock(nn.Module):
         x = window_reverse(windows, ws, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + x
+        dp = DropPath(self.drop_path_rate, name="drop_path")
+        x = shortcut + dp(x, deterministic=not train)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, name="fc2")(y)
-        return x + y
+        return x + dp(y, deterministic=not train)
 
 
 def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> jnp.ndarray:
@@ -157,6 +162,8 @@ class SwinTransformer(nn.Module):
     mlp_ratio: float = 4.0
     patch_size: int = 4
     out_indices: Sequence[int] = (1, 2, 3)
+    drop_path_rate: float = 0.0   # linearly ramped over blocks (reference
+                                  # swin_transformer.py:529: dpr = linspace)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
@@ -168,6 +175,10 @@ class SwinTransformer(nn.Module):
 
         outs = []
         dim = self.embed_dim
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+        done = 0
         for si, depth in enumerate(self.depths):
             h, w = x.shape[1], x.shape[2]
             ws = min(self.window_size, h, w)
@@ -184,8 +195,10 @@ class SwinTransformer(nn.Module):
                 blk_shift = 0 if bi % 2 == 0 else (shift if mask is not None else 0)
                 x = SwinBlock(dim, self.num_heads[si], window_size=ws,
                               shift=blk_shift, mlp_ratio=self.mlp_ratio,
+                              drop_path_rate=dpr[done + bi],
                               name=f"stage{si}_block{bi}")(
                     x, mask if blk_shift else None, train)
+            done += depth
             x = x[:, :h, :w]
             if si in self.out_indices:
                 out = nn.LayerNorm(name=f"out_norm{si}")(x)

@@ -157,6 +157,7 @@ def _swin(cfg: dict) -> nn.Module:
         window_size=int(cfg.get("window_size", 7)),
         mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
         out_indices=tuple(cfg.get("out_indices", (0, 1, 2, 3))),
+        drop_path_rate=float(cfg.get("drop_path_rate", 0.0)),
     )
 
 

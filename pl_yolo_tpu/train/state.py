@@ -95,17 +95,21 @@ def make_train_step(
 
     def step_fn(state: TrainState, images, labels, rng,
                 aug_enable=None, use_l1=None):
+        # independent streams for augmentation and in-model stochastic
+        # layers (DropPath/DropBlock consume the 'dropout' collection)
+        k_aug, k_drop = jax.random.split(rng)
         if augment_fn is not None:
             if aug_takes_enable and aug_enable is not None:
-                images, labels = augment_fn(rng, images, labels,
+                images, labels = augment_fn(k_aug, images, labels,
                                             enable=aug_enable)
             else:
-                images, labels = augment_fn(rng, images, labels)
+                images, labels = augment_fn(k_aug, images, labels)
 
         def compute_loss(params):
             outputs, mutated = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, True, mutable=["batch_stats"])
+                images, True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop})
             if loss_takes_l1 and use_l1 is not None:
                 losses = loss_fn(outputs, labels, use_l1=use_l1)
             else:

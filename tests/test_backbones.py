@@ -99,3 +99,26 @@ def test_swin_neck_none_detector_builds():
     assert len(outs) == 4
     dec = model.loss.eval_decode(outs)
     assert dec.shape == (1, 16 * 16 + 8 * 8 + 4 * 4 + 2 * 2, 9)
+
+
+def test_swin_drop_path_stochastic_depth():
+    """drop_path_rate engages only in train mode, through the 'dropout' rng
+    collection (reference swin stochastic depth, swin_transformer.py:529)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pl_yolo_tpu.models.backbones.swin import SwinTransformer
+
+    m = SwinTransformer(embed_dim=24, depths=(1, 1), num_heads=(2, 4),
+                        out_indices=(0, 1), drop_path_rate=0.9)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (4, 56, 56, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x)
+    # eval: deterministic, no dropout rng required
+    e1 = m.apply(v, x, False)
+    e2 = m.apply(v, x, False)
+    np.testing.assert_array_equal(np.asarray(e1[-1]), np.asarray(e2[-1]))
+    # train: different dropout keys give different outputs
+    t1 = m.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
+    t2 = m.apply(v, x, True, rngs={"dropout": jax.random.key(2)})
+    assert np.abs(np.asarray(t1[-1]) - np.asarray(t2[-1])).max() > 1e-3
