@@ -20,6 +20,12 @@ import jax  # noqa: E402
 # platform selection; the config update forces CPU deterministically.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: test-suite wall time on this 1-core host is
+# dominated by recompiles of unchanged tiny models across pytest processes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/pl_yolo_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
