@@ -199,9 +199,9 @@ def _apply_affine_to_points(M: jax.Array, pts: jax.Array) -> jax.Array:
 
 
 def _use_pallas_mosaic(cfg: AugmentConfig, h: int, w: int) -> bool:
+    # the column-tap kernel has no mosaic_scale bound (taps are elementwise
+    # per output row/column); "auto" = on TPU only
     if cfg.use_pallas == "off":
-        return False
-    if float(cfg.mosaic_scale[1]) > 4.0:  # y target-window bound (T <= 9)
         return False
     if cfg.use_pallas == "on":
         return True
@@ -598,18 +598,35 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
     no-aug final epochs reuse the SAME compiled step (HSV/flip stay on,
     matching the YOLOX no-aug recipe)."""
     b = images.shape[0]
+    h, w = images.shape[1:3]
     pixel_dtype = jnp.bfloat16 if cfg.pixel_dtype == "bfloat16" else jnp.float32
     images = images.astype(pixel_dtype)
     enable = jnp.asarray(enable, bool)
+    use_pal = _use_pallas_mosaic(cfg, h, w)
     k_perm, k_mix, k_each = jax.random.split(rng, 3)
     perm = jax.random.permutation(k_perm, b)
     idx4 = jnp.stack([jnp.roll(perm, -i) for i in (1, 2, 3)], axis=1)  # [B,3]
-    partners = images[idx4]
     partner_labels = labels[idx4]
     mix_idx = jax.random.permutation(k_mix, b)
-    mix_img = images[mix_idx]
     mix_labels = labels[mix_idx]
     keys = jax.random.split(k_each, b)
+
+    # The Pallas kernels fetch tile/partner PIXELS straight from a c-major
+    # pool of the batch via scalar-prefetch index maps, so the [B,3,H,W,3]
+    # partner gather / [B,4,...] tile concat (~2.5 GB HBM traffic @B128/640)
+    # only exists on the non-Pallas paths. Unused vmap args are DCE'd.
+    need_partner_px = cfg.mosaic_prob > 0 and (not cfg.separable
+                                               or not use_pal)
+    need_mix_px = (cfg.mixup_prob > 0 and cfg.mosaic_prob > 0
+                   and not use_pal)
+    partners = (images[idx4] if need_partner_px
+                else jnp.zeros((b, 1, 1, 1, 1), images.dtype))
+    mix_img = (images[mix_idx] if need_mix_px
+               else jnp.zeros((b, 1, 1, 1), images.dtype))
+    pool = None
+    if use_pal and cfg.mosaic_prob > 0:
+        from ..ops.pallas.mosaic_pallas import to_cm
+        pool = to_cm(images)
 
     mosaic = None
     if cfg.mosaic_prob > 0 and cfg.separable:
@@ -617,8 +634,6 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
         # TPU through the Pallas kernel (gather-free; ops/pallas/
         # mosaic_pallas.py), else canvas + one flat take. Keys match
         # _augment_one's split so randomness is identical per path.
-        h, w = images.shape[1:3]
-
         def prep(key, lab, pl_):
             k_mosaic = jax.random.split(key, 4)[1]
             return _mosaic_geometry(
@@ -626,12 +641,15 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
 
         oxw, oyw, xs_raw, ys_raw, mo_cand, mo_valid = jax.vmap(prep)(
             keys, labels, partner_labels)
-        tiles = jnp.concatenate([images[:, None], partners], axis=1)
-        if _use_pallas_mosaic(cfg, h, w):
-            from ..ops.pallas.mosaic_pallas import mosaic_sample
-            mo_imgs = mosaic_sample(tiles, oxw, oyw, xs_raw, ys_raw,
-                                    max_scale=float(cfg.mosaic_scale[1]))
+        if use_pal:
+            from ..ops.pallas.mosaic_pallas import mosaic_sample_idx
+            tidx = jnp.concatenate(
+                [jnp.arange(b, dtype=jnp.int32)[:, None],
+                 idx4.astype(jnp.int32)], axis=1)
+            mo_imgs = mosaic_sample_idx(pool, tidx, oxw, oyw,
+                                        xs_raw, ys_raw)
         else:
+            tiles = jnp.concatenate([images[:, None], partners], axis=1)
             win = jax.vmap(_paste_window)(tiles, oxw, oyw)
             xs = jnp.where((xs_raw >= 0) & (xs_raw < 2 * w), xs_raw, -1e9)
             ys = jnp.where((ys_raw >= 0) & (ys_raw < 2 * h), ys_raw, -1e9)
@@ -639,20 +657,17 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
         mosaic = (mo_imgs, mo_cand, mo_valid)
 
     mixup = None
-    if (cfg.mixup_prob > 0 and cfg.mosaic_prob > 0
-            and _use_pallas_mosaic(cfg, *images.shape[1:3])):
+    if cfg.mixup_prob > 0 and cfg.mosaic_prob > 0 and use_pal:
         # batch the partner jit-scale/flip/crop through ONE Pallas warp
         # (the per-image take-based sampler measured ~11 ms of the 41 ms
         # augment step @ B64/640). Keys mirror _augment_one's split.
-        h, w = images.shape[1:3]
-
         def mixprep(key, ml):
             k_mixt = jax.random.split(key, 4)[3]
             return _mixup_geometry(k_mixt, ml, cfg, h, w)
 
         mxs, mys, mix_cand, mix_v = jax.vmap(mixprep)(keys, mix_labels)
-        from ..ops.pallas.mosaic_pallas import warp_sample
-        mix_t = warp_sample(mix_img, mxs, mys, fill=0.0)
+        from ..ops.pallas.mosaic_pallas import warp_sample_idx
+        mix_t = warp_sample_idx(pool, mix_idx, mxs, mys, fill=0.0)
         mixup = (mix_t, mix_cand, mix_v)
 
     n_mo = 0 if mosaic is None else 3

@@ -40,10 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 FILL = 114.0
 
 
-def _mosaic_kernel(x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref, y1_ref,
-                   wy0_ref, wy1_ref, covy_ref, covx3_ref, tiles_ref,
+def _mosaic_kernel(tidx_ref, x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref,
+                   y1_ref, wy0_ref, wy1_ref, covy_ref, covx3_ref, tiles_ref,
                    out_ref, sel_scr, *, blk_rows: int, tile_w: int,
                    out_w: int, fill: float):
+    del tidx_ref  # consumed by the block index maps (scalar prefetch)
     k = pl.program_id(1)
     blk = pl.program_id(2)
     nk = pl.num_programs(1)
@@ -78,7 +79,7 @@ def _mosaic_kernel(x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref, y1_ref,
     # against Wy, accumulate into the matching lane slice of the out block.
     # Channel-chunked to bound the f32 temps at (hout, w) — the full
     # (hout, 3w) contrib overflowed the 16 MB scoped-VMEM budget at 640^2.
-    row = tiles_ref[0, 0]                                  # (blk, 3w) c-major
+    row = tiles_ref[0]                                     # (blk, 3w) c-major
     sel16 = sel_scr[:]
     for c in range(3):
         xc = jax.lax.dot_general(
@@ -149,21 +150,28 @@ def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w, hix, hiy):
     return x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3
 
 
-def _warp_tiles(tiles, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill, interpret):
-    """Shared core: sample K tiles onto one output grid (see module doc)."""
-    b, nk, h, w, _ = tiles.shape
+def _warp_cm(imgs_cm, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
+             interpret):
+    """Shared core: sample K tiles per output image onto one grid.
+
+    imgs_cm [N, H, 3W] channel-major source pool (lane = c*w + x); tidx
+    [B, K] int32 indexes the pool per (image, tile) — the kernel's block
+    index maps read it via scalar prefetch, so tile pixels stream straight
+    from the source pool with NO host-side gather / concat / per-tile
+    relayout (those were ~2.5 GB of HBM traffic per step at B128/640)."""
+    b, nk = tidx.shape
+    _, h, w3 = imgs_cm.shape
+    w = w3 // 3
     blk = 64 if h % 64 == 0 else h
     nblk = h // blk
-    dtype = tiles.dtype
+    dtype = imgs_cm.dtype
+    out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+    if dtype == jnp.float32:
+        imgs_cm = imgs_cm.astype(jnp.bfloat16)
 
     x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3 = jax.vmap(
         functools.partial(_prepare_inputs, h=h, w=w, hix=hix, hiy=hiy)
     )(oxw, oyw, xs_raw, ys_raw)
-    # channel-major rows (lane = c*w + x): each channel is a 128-aligned
-    # lane slice inside the kernel. bf16 before the transpose halves the
-    # relayout traffic; the matmuls use bf16 operands anyway.
-    cast = tiles.astype(jnp.bfloat16) if dtype == jnp.float32 else tiles
-    tiles_flat = cast.transpose(0, 1, 2, 4, 3).reshape(b, nk, h, 3 * w)
 
     kern = functools.partial(_mosaic_kernel, blk_rows=blk, tile_w=w, out_w=w,
                              fill=fill)
@@ -171,37 +179,70 @@ def _warp_tiles(tiles, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill, interpret):
     # by (8, 128) or equal the full array dims — small per-image vectors get
     # unit dims so "equal the full dim" holds trivially. Row vectors ship as
     # [B,K,1,w] (read (1,w)), column vectors as [B,K,h,1] (read (h,1)).
-    rowv = pl.BlockSpec((1, 1, 1, w), lambda b_, k, j: (b_, k, 0, 0),
-                        memory_space=pltpu.VMEM)
-    colv = pl.BlockSpec((1, 1, h, 1), lambda b_, k, j: (b_, k, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
+    # Index maps take the prefetched tidx ref as their last argument.
+    rowv = pl.BlockSpec((1, 1, 1, w), lambda b_, k, j, t: (b_, k, 0, 0))
+    colv = pl.BlockSpec((1, 1, h, 1), lambda b_, k, j, t: (b_, k, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, nk, nblk),
         in_specs=[
             rowv, rowv, rowv, rowv,                        # x0 x1 wx0 wx1
             colv, colv, colv, colv,                        # y0 y1 wy0 wy1
-            pl.BlockSpec((1, h, 1), lambda b_, k, j: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),          # covy [B,h,1]
-            pl.BlockSpec((1, 1, 3 * w), lambda b_, k, j: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),          # covx3 [B,1,3w]
-            pl.BlockSpec((1, 1, blk, w * 3), lambda b_, k, j: (b_, k, j, 0),
-                         memory_space=pltpu.VMEM),          # tiles (c-major)
+            pl.BlockSpec((1, h, 1), lambda b_, k, j, t: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * w), lambda b_, k, j, t: (b_, 0, 0)),
+            pl.BlockSpec((1, blk, w * 3),                  # source pool rows
+                         lambda b_, k, j, t: (t[b_, k], j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, 3 * w), lambda b_, k, j: (b_, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), dtype),
+        out_specs=pl.BlockSpec((1, h, 3 * w), lambda b_, k, j, t: (b_, 0, 0)),
         scratch_shapes=[pltpu.VMEM((w, w), jnp.bfloat16)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), out_dtype),
         # the resident f32 out block (h, 3w) + temps exceed the 16 MB default
         # scoped-VMEM budget at 640^2; v5e VMEM is far larger
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x0[:, :, None], x1[:, :, None], wx0[:, :, None], wx1[:, :, None],
-      y0[..., None], y1[..., None], wy0[..., None], wy1[..., None],
-      covy[:, :, None], covx3[:, None], tiles_flat)
+    )(tidx, x0[:, :, None], x1[:, :, None], wx0[:, :, None],
+      wx1[:, :, None], y0[..., None], y1[..., None], wy0[..., None],
+      wy1[..., None], covy[:, :, None], covx3[:, None], imgs_cm)
     # rows are c-major [c][j]: split and move channels last
     return out.reshape(b, h, 3, w).transpose(0, 1, 3, 2)
+
+
+def to_cm(imgs: jax.Array) -> jax.Array:
+    """[N, H, W, 3] -> channel-major row pool [N, H, 3W] (lane = c*w + x).
+    One batch-level relayout shared by every kernel call on the batch."""
+    n, h, w, _ = imgs.shape
+    return imgs.transpose(0, 1, 3, 2).reshape(n, h, 3 * w)
+
+
+def mosaic_sample_idx(imgs_cm: jax.Array, tidx: jax.Array, oxw: jax.Array,
+                      oyw: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """Mosaic sampling with tiles fetched from a c-major source pool by
+    index: imgs_cm = to_cm(batch) [N, H, 3W], tidx [B, 4] rows = (self +
+    3 partners). Remaining args as mosaic_sample."""
+    _, h, w3 = imgs_cm.shape
+    w = w3 // 3
+    return _warp_cm(imgs_cm, tidx, oxw, oyw, xs_raw, ys_raw,
+                    hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
+
+
+def warp_sample_idx(imgs_cm: jax.Array, idx: jax.Array, xs_raw: jax.Array,
+                    ys_raw: jax.Array, fill: float = 0.0,
+                    interpret: bool = False) -> jax.Array:
+    """Single-image separable warp from a c-major pool by index (e.g. the
+    mixup partner permutation): idx [B] row indices into imgs_cm."""
+    b = idx.shape[0]
+    _, h, w3 = imgs_cm.shape
+    w = w3 // 3
+    zeros = jnp.zeros((b, 1), jnp.int32)
+    return _warp_cm(imgs_cm, idx[:, None].astype(jnp.int32), zeros, zeros,
+                    xs_raw, ys_raw, hix=w, hiy=h, fill=fill,
+                    interpret=interpret)
 
 
 def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
@@ -216,9 +257,11 @@ def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
     max_scale is accepted for API stability but unused (the column-tap
     y-pass has no target-window bound)."""
     del max_scale
-    _, _, h, w, _ = tiles.shape
-    return _warp_tiles(tiles, oxw, oyw, xs_raw, ys_raw,
-                       hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
+    b, nk, h, w, _ = tiles.shape
+    pool = to_cm(tiles.reshape(b * nk, h, w, 3))
+    tidx = jnp.arange(b * nk, dtype=jnp.int32).reshape(b, nk)
+    return _warp_cm(pool, tidx, oxw, oyw, xs_raw, ys_raw,
+                    hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
 
 
 def warp_sample(imgs: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
@@ -229,7 +272,6 @@ def warp_sample(imgs: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
     edge semantics (coords valid on [0, n-1], no partial edge blends), with
     bf16-operand matmul rounding (~1 grey level). Coords may be decreasing
     (flips) — the taps are elementwise per output row/column."""
-    b, h, w, _ = imgs.shape
-    zeros = jnp.zeros((b, 1), jnp.int32)
-    return _warp_tiles(imgs[:, None], zeros, zeros, xs_raw, ys_raw,
-                       hix=w, hiy=h, fill=fill, interpret=interpret)
+    b = imgs.shape[0]
+    return warp_sample_idx(to_cm(imgs), jnp.arange(b, dtype=jnp.int32),
+                           xs_raw, ys_raw, fill=fill, interpret=interpret)

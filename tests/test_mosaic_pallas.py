@@ -108,3 +108,25 @@ def test_warp_sample_matches_separable_bilinear():
                                  jnp.asarray(ys), fill=0.0, interpret=True))
     np.testing.assert_allclose(got, want, atol=3.0)  # bf16 operand rounding
     assert np.mean(np.abs(got - want)) < 0.5
+
+
+def test_mosaic_sample_idx_matches_gathered_tiles():
+    """Scalar-prefetch pool indexing == explicit host-side tile gather."""
+    from pl_yolo_tpu.ops.pallas.mosaic_pallas import (
+        mosaic_sample, mosaic_sample_idx, to_cm)
+
+    rng = np.random.default_rng(21)
+    b, h, w = 3, 64, 64
+    batch = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    tidx = np.stack([np.roll(np.arange(b), -i) for i in range(4)],
+                    axis=1).astype(np.int32)          # self + 3 partners
+    oxw, oyw, xs, ys = _geometry(rng, b, h, w, (0.6, 1.8))
+
+    tiles = batch[tidx]                               # [B,4,H,W,3]
+    want = np.asarray(mosaic_sample(
+        jnp.asarray(tiles), jnp.asarray(oxw), jnp.asarray(oyw),
+        jnp.asarray(xs), jnp.asarray(ys), interpret=True))
+    got = np.asarray(mosaic_sample_idx(
+        to_cm(jnp.asarray(batch)), jnp.asarray(tidx), jnp.asarray(oxw),
+        jnp.asarray(oyw), jnp.asarray(xs), jnp.asarray(ys), interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
