@@ -200,10 +200,11 @@ def _apply_affine_to_points(M: jax.Array, pts: jax.Array) -> jax.Array:
 
 def _use_pallas_mosaic(cfg: AugmentConfig, h: int, w: int) -> bool:
     # the column-tap kernel has no mosaic_scale bound (taps are elementwise
-    # per output row/column); "auto" = on TPU only
+    # per output row/column); "auto" = on TPU only; "interpret" runs the
+    # Pallas path through the interpreter (CPU equivalence tests)
     if cfg.use_pallas == "off":
         return False
-    if cfg.use_pallas == "on":
+    if cfg.use_pallas in ("on", "interpret"):
         return True
     return jax.default_backend() == "tpu"
 
@@ -389,12 +390,17 @@ def _compact_labels(cand: jax.Array, valid: jax.Array, max_labels: int):
 
 # --------------------------------------------------------------------- HSV
 
-def _rgb_to_hsv(img):
-    """RGB [0,255] -> HSV with h,s,v in [0,1]."""
+def _rgb_to_hsv(img, channel_axis=-1):
+    """RGB [0,255] -> HSV with h,s,v in [0,1]. channel_axis=0 operates on
+    channel-major (3, H, W) planes — full-lane TPU tiles instead of a
+    3-wide minor axis (the NHWC roundtrip measured 18.7 ms @B128/640,
+    compute-bound at 3/128 lane utilization)."""
     rgb = img / 255.0
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    maxc = jnp.max(rgb, axis=-1)
-    minc = jnp.min(rgb, axis=-1)
+    r = jnp.take(rgb, 0, axis=channel_axis)
+    g = jnp.take(rgb, 1, axis=channel_axis)
+    b = jnp.take(rgb, 2, axis=channel_axis)
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
     delta = maxc - minc
     s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
@@ -404,12 +410,14 @@ def _rgb_to_hsv(img):
     hb = (r - g) / safe + 4.0
     h = jnp.where(maxc == r, hr, jnp.where(maxc == g, hg, hb))
     h = jnp.where(delta > 0, h / 6.0, 0.0)
-    return jnp.stack([h, s, v], axis=-1)
+    return jnp.stack([h, s, v], axis=channel_axis)
 
 
-def _hsv_to_rgb(hsv):
+def _hsv_to_rgb(hsv, channel_axis=-1):
     """HSV (h,s,v in [0,1]) -> RGB [0,255]."""
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h = jnp.take(hsv, 0, axis=channel_axis)
+    s = jnp.take(hsv, 1, axis=channel_axis)
+    v = jnp.take(hsv, 2, axis=channel_axis)
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1.0 - s)
@@ -422,26 +430,29 @@ def _hsv_to_rgb(hsv):
                    [t, v, v, q, p, p])
     b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
                    [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1) * 255.0
+    return jnp.stack([r, g, b], axis=channel_axis) * 255.0
 
 
-def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4, enable=None):
+def hsv_jitter(rng, img, hgain=0.015, sgain=0.7, vgain=0.4, enable=None,
+               channel_axis=-1):
     """Random HSV gains (reference augment_hsv, data_augments.py:109-122).
 
     `enable` (bool scalar) gates by nulling the gains to identity, so the
     un-jittered branch is never computed twice (identity HSV roundtrip is
-    exact up to float noise — cheaper than a where() over both branches)."""
+    exact up to float noise — cheaper than a where() over both branches).
+    channel_axis=0 for channel-major (3, H, W) images (full-lane planes)."""
     r = jax.random.uniform(rng, (3,), minval=-1.0, maxval=1.0)
     if enable is not None:
         r = jnp.where(enable, r, 0.0)
     dtype = img.dtype
-    hsv = _rgb_to_hsv(img.astype(jnp.float32))  # roundtrip in f32: bf16
+    ca = channel_axis
+    hsv = _rgb_to_hsv(img.astype(jnp.float32), ca)  # roundtrip in f32: bf16
     # multiplicative hue LUT `(x * r0) % 180` (data_augments.py:114-115),
     # mapped to our [0,1) hue space; r0=1 (gated) is an exact identity
-    hue = (hsv[..., 0] * (r[0] * hgain + 1.0)) % 1.0
-    sat = jnp.clip(hsv[..., 1] * (r[1] * sgain + 1.0), 0.0, 1.0)
-    val = jnp.clip(hsv[..., 2] * (r[2] * vgain + 1.0), 0.0, 1.0)
-    return _hsv_to_rgb(jnp.stack([hue, sat, val], axis=-1)).astype(dtype)
+    hue = (jnp.take(hsv, 0, axis=ca) * (r[0] * hgain + 1.0)) % 1.0
+    sat = jnp.clip(jnp.take(hsv, 1, axis=ca) * (r[1] * sgain + 1.0), 0.0, 1.0)
+    val = jnp.clip(jnp.take(hsv, 2, axis=ca) * (r[2] * vgain + 1.0), 0.0, 1.0)
+    return _hsv_to_rgb(jnp.stack([hue, sat, val], axis=ca), ca).astype(dtype)
 
 
 # ------------------------------------------------------------------- mixup
@@ -524,15 +535,19 @@ def multiscale_resize(images: jax.Array, labels: jax.Array,
 
 def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
                  mix_labels, cfg: AugmentConfig, enable=True, mosaic=None,
-                 mixup=None):
+                 mixup=None, chw=False):
     """Full augmentation for one sample. partners: [3,H,W,3] mosaic mates.
     `enable` (bool scalar, may be traced) gates mosaic+mixup — the YOLOX
     no-aug final epochs keep HSV/flip but drop the heavy augs.
     `mosaic`: optional precomputed (img, cand, valid) from the batched
     sampling path (separable affines); None computes it here (general
     affines). `mixup`: optional precomputed partner (img, cand, valid) from
-    the batched Pallas warp path; None samples it here."""
-    h, w = img.shape[:2]
+    the batched Pallas warp path; None samples it here.
+    `chw` (static): img and the precomputed pixel triples are channel-major
+    (3, H, W) — the Pallas-path layout where channel planes are full TPU
+    tiles (HSV/flip/blends at full lane utilization); label math is
+    layout-independent."""
+    h, w = img.shape[1:3] if chw else img.shape[:2]
     k_gate, k_mosaic, k_hsv, k_mixt = jax.random.split(rng, 4)
     gates = jax.random.uniform(k_gate, (4,))
 
@@ -576,12 +591,14 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
 
     # HSV (gain-gated: identity gains when the prob gate is off)
     if cfg.hsv_prob > 0:
-        out_img = hsv_jitter(k_hsv, out_img, enable=gates[2] < cfg.hsv_prob)
+        out_img = hsv_jitter(k_hsv, out_img, enable=gates[2] < cfg.hsv_prob,
+                             channel_axis=0 if chw else -1)
 
     # horizontal flip (data_augments.py:125-129)
     if cfg.flip_prob > 0:
         do_flip = gates[3] < cfg.flip_prob
-        out_img = jnp.where(do_flip, out_img[:, ::-1], out_img)
+        flipped = out_img[..., ::-1] if chw else out_img[:, ::-1]
+        out_img = jnp.where(do_flip, flipped, out_img)
         flipped_cx = jnp.where(valid, w - cand[:, 1], cand[:, 1])
         cand = jnp.where(do_flip, cand.at[:, 1].set(flipped_cx), cand)
 
@@ -611,22 +628,26 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
     mix_labels = labels[mix_idx]
     keys = jax.random.split(k_each, b)
 
-    # The Pallas kernels fetch tile/partner PIXELS straight from a c-major
-    # pool of the batch via scalar-prefetch index maps, so the [B,3,H,W,3]
-    # partner gather / [B,4,...] tile concat (~2.5 GB HBM traffic @B128/640)
-    # only exists on the non-Pallas paths. Unused vmap args are DCE'd.
-    need_partner_px = cfg.mosaic_prob > 0 and (not cfg.separable
-                                               or not use_pal)
-    need_mix_px = (cfg.mixup_prob > 0 and cfg.mosaic_prob > 0
-                   and not use_pal)
+    # Pallas path: ALL pixel work runs channel-major (B, 3, H, W) — the
+    # kernels fetch tile/partner pixels straight from one to_chw pool via
+    # scalar-prefetch index maps (no [B,3,H,W,3] partner gather, no tile
+    # concat — ~2.5 GB HBM traffic @B128/640), and HSV/flip/blends operate
+    # on full-tile channel planes (the NHWC HSV roundtrip alone measured
+    # 18.7 ms @B128 at 3/128 lane utilization). One NHWC transpose at the
+    # end fuses with the f32 output cast. `interp` (use_pallas="interpret")
+    # runs the same path via the interpreter for CPU equivalence tests.
+    interp = cfg.use_pallas == "interpret"
+    chw = use_pal and cfg.separable and cfg.mosaic_prob > 0
+    need_partner_px = cfg.mosaic_prob > 0 and not chw
+    need_mix_px = (cfg.mixup_prob > 0 and cfg.mosaic_prob > 0 and not chw)
     partners = (images[idx4] if need_partner_px
                 else jnp.zeros((b, 1, 1, 1, 1), images.dtype))
     mix_img = (images[mix_idx] if need_mix_px
                else jnp.zeros((b, 1, 1, 1), images.dtype))
     pool = None
-    if use_pal and cfg.mosaic_prob > 0:
-        from ..ops.pallas.mosaic_pallas import to_cm
-        pool = to_cm(images)
+    if chw:
+        from ..ops.pallas.mosaic_pallas import to_chw
+        pool = to_chw(images)
 
     mosaic = None
     if cfg.mosaic_prob > 0 and cfg.separable:
@@ -641,13 +662,13 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
 
         oxw, oyw, xs_raw, ys_raw, mo_cand, mo_valid = jax.vmap(prep)(
             keys, labels, partner_labels)
-        if use_pal:
+        if chw:
             from ..ops.pallas.mosaic_pallas import mosaic_sample_idx
             tidx = jnp.concatenate(
                 [jnp.arange(b, dtype=jnp.int32)[:, None],
                  idx4.astype(jnp.int32)], axis=1)
             mo_imgs = mosaic_sample_idx(pool, tidx, oxw, oyw,
-                                        xs_raw, ys_raw)
+                                        xs_raw, ys_raw, interpret=interp)
         else:
             tiles = jnp.concatenate([images[:, None], partners], axis=1)
             win = jax.vmap(_paste_window)(tiles, oxw, oyw)
@@ -657,7 +678,7 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
         mosaic = (mo_imgs, mo_cand, mo_valid)
 
     mixup = None
-    if cfg.mixup_prob > 0 and cfg.mosaic_prob > 0 and use_pal:
+    if cfg.mixup_prob > 0 and cfg.mosaic_prob > 0 and chw:
         # batch the partner jit-scale/flip/crop through ONE Pallas warp
         # (the per-image take-based sampler measured ~11 ms of the 41 ms
         # augment step @ B64/640). Keys mirror _augment_one's split.
@@ -667,17 +688,21 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
 
         mxs, mys, mix_cand, mix_v = jax.vmap(mixprep)(keys, mix_labels)
         from ..ops.pallas.mosaic_pallas import warp_sample_idx
-        mix_t = warp_sample_idx(pool, mix_idx, mxs, mys, fill=0.0)
+        mix_t = warp_sample_idx(pool, mix_idx, mxs, mys, fill=0.0,
+                                interpret=interp)
         mixup = (mix_t, mix_cand, mix_v)
 
     n_mo = 0 if mosaic is None else 3
     fn = lambda k, i, l, p, pl, mi, ml, *extra: _augment_one(
         k, i, l, p, pl, mi, ml, cfg, enable=enable,
         mosaic=extra[:n_mo] if n_mo else None,
-        mixup=extra[n_mo:] if len(extra) > n_mo else None)
-    args = (keys, images, labels, partners, partner_labels, mix_img,
-            mix_labels)
+        mixup=extra[n_mo:] if len(extra) > n_mo else None, chw=chw)
+    args = (keys, pool if chw else images, labels, partners, partner_labels,
+            mix_img, mix_labels)
     extra = (tuple(mosaic) if mosaic is not None else ()) + (
         tuple(mixup) if mixup is not None else ())
     out_imgs, out_labels = jax.vmap(fn)(*args, *extra)
+    if chw:
+        from ..ops.pallas.mosaic_pallas import from_chw
+        out_imgs = from_chw(out_imgs)
     return out_imgs.astype(jnp.float32), out_labels

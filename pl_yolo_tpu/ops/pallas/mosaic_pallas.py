@@ -41,7 +41,7 @@ FILL = 114.0
 
 
 def _mosaic_kernel(tidx_ref, x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref,
-                   y1_ref, wy0_ref, wy1_ref, covy_ref, covx3_ref, tiles_ref,
+                   y1_ref, wy0_ref, wy1_ref, covy_ref, covx_ref, tiles_ref,
                    out_ref, sel_scr, *, blk_rows: int, tile_w: int,
                    out_w: int, fill: float):
     del tidx_ref  # consumed by the block index maps (scalar prefetch)
@@ -68,33 +68,31 @@ def _mosaic_kernel(tidx_ref, x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref,
     # y taps: mirror of sel along rows. Column taps y0/y1 [hout, 1] give
     # Wy[i, s] = (s == y0[i]) wy0[i] + (s == y1[i]) wy1[i] for the tile rows
     # s of this block.
-    hout = out_ref.shape[1]
+    hout = out_ref.shape[2]
     s_ids = (jax.lax.broadcasted_iota(jnp.int32, (hout, blk_rows), 1)
              + blk * blk_rows)
     wy = ((s_ids == y0_ref[0, 0]) * wy0_ref[0, 0]
           + (s_ids == y1_ref[0, 0]) * wy1_ref[0, 0]).astype(jnp.bfloat16)
 
-    # per channel (tiles rows are channel-major, lane = c*w + x: each channel
-    # is a 128-aligned lane slice): x-pass matmul against sel, y-pass matmul
-    # against Wy, accumulate into the matching lane slice of the out block.
-    # Channel-chunked to bound the f32 temps at (hout, w) — the full
-    # (hout, 3w) contrib overflowed the 16 MB scoped-VMEM budget at 640^2.
-    row = tiles_ref[0]                                     # (blk, 3w) c-major
+    # per channel (tiles and output are channel-major planes): x-pass matmul
+    # against sel, y-pass matmul against Wy, accumulate into the channel's
+    # (h, w) output plane. Channel-chunked f32 temps stay at (hout, w).
     sel16 = sel_scr[:]
     for c in range(3):
         xc = jax.lax.dot_general(
-            row[:, c * tile_w:(c + 1) * tile_w].astype(jnp.bfloat16), sel16,
+            tiles_ref[0, c].astype(jnp.bfloat16), sel16,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         contrib = jax.lax.dot_general(
             wy, xc.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0, :, c * out_w:(c + 1) * out_w] += contrib.astype(
-            out_ref.dtype)
+        out_ref[0, c] += contrib.astype(out_ref.dtype)
 
     @pl.when((k == nk - 1) & (blk == nblk - 1))
     def _fill():
-        cov = covy_ref[0] * covx3_ref[0]                   # (h,1)*(1,3w)
-        out_ref[0] += (fill * (1.0 - cov)).astype(out_ref.dtype)
+        cov = covy_ref[0] * covx_ref[0]                    # (h,1)*(1,w)
+        add = (fill * (1.0 - cov)).astype(out_ref.dtype)
+        for c in range(3):
+            out_ref[0, c] += add
 
 
 def _taps(coords, origins, n, hi):
@@ -146,30 +144,30 @@ def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w, hix, hiy):
     all 4 for clarity; the prep is trivially cheap."""
     x0, x1, wx0, wx1, covx = _taps(xs_raw, oxw, w, hix)
     y0, y1, wy0, wy1, covy = _taps(ys_raw, oyw, h, hiy)
-    covx3 = jnp.tile(covx, 3)                              # c-major [3*w]
-    return x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3
+    return x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx
 
 
-def _warp_cm(imgs_cm, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
-             interpret):
+def _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
+              interpret):
     """Shared core: sample K tiles per output image onto one grid.
 
-    imgs_cm [N, H, 3W] channel-major source pool (lane = c*w + x); tidx
-    [B, K] int32 indexes the pool per (image, tile) — the kernel's block
-    index maps read it via scalar prefetch, so tile pixels stream straight
-    from the source pool with NO host-side gather / concat / per-tile
-    relayout (those were ~2.5 GB of HBM traffic per step at B128/640)."""
+    pool [N, 3, H, W] channel-major source images; tidx [B, K] int32 indexes
+    the pool per (image, tile) — the kernel's block index maps read it via
+    scalar prefetch, so tile pixels stream straight from the source pool
+    with NO host-side gather / concat / per-tile relayout (those were
+    ~2.5 GB of HBM traffic per step at B128/640). Returns [B, 3, H, W]:
+    channel planes are full (h, w) tiles, so downstream pixel math (HSV,
+    flips, blends) runs at full lane utilization instead of 3/128."""
     b, nk = tidx.shape
-    _, h, w3 = imgs_cm.shape
-    w = w3 // 3
+    _, _, h, w = pool.shape
     blk = 64 if h % 64 == 0 else h
     nblk = h // blk
-    dtype = imgs_cm.dtype
+    dtype = pool.dtype
     out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     if dtype == jnp.float32:
-        imgs_cm = imgs_cm.astype(jnp.bfloat16)
+        pool = pool.astype(jnp.bfloat16)
 
-    x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx3 = jax.vmap(
+    x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx = jax.vmap(
         functools.partial(_prepare_inputs, h=h, w=w, hix=hix, hiy=hiy)
     )(oxw, oyw, xs_raw, ys_raw)
 
@@ -189,67 +187,68 @@ def _warp_cm(imgs_cm, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
             rowv, rowv, rowv, rowv,                        # x0 x1 wx0 wx1
             colv, colv, colv, colv,                        # y0 y1 wy0 wy1
             pl.BlockSpec((1, h, 1), lambda b_, k, j, t: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, 3 * w), lambda b_, k, j, t: (b_, 0, 0)),
-            pl.BlockSpec((1, blk, w * 3),                  # source pool rows
-                         lambda b_, k, j, t: (t[b_, k], j, 0)),
+            pl.BlockSpec((1, 1, w), lambda b_, k, j, t: (b_, 0, 0)),
+            pl.BlockSpec((1, 3, blk, w),                   # source pool rows
+                         lambda b_, k, j, t: (t[b_, k], 0, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, 3 * w), lambda b_, k, j, t: (b_, 0, 0)),
+        out_specs=pl.BlockSpec((1, 3, h, w), lambda b_, k, j, t: (b_, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((w, w), jnp.bfloat16)],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), out_dtype),
-        # the resident f32 out block (h, 3w) + temps exceed the 16 MB default
-        # scoped-VMEM budget at 640^2; v5e VMEM is far larger
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), out_dtype),
+        # the resident f32 out block (3, h, w) + temps exceed the 16 MB
+        # default scoped-VMEM budget at 640^2; v5e VMEM is far larger
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tidx, x0[:, :, None], x1[:, :, None], wx0[:, :, None],
       wx1[:, :, None], y0[..., None], y1[..., None], wy0[..., None],
-      wy1[..., None], covy[:, :, None], covx3[:, None], imgs_cm)
-    # rows are c-major [c][j]: split and move channels last
-    return out.reshape(b, h, 3, w).transpose(0, 1, 3, 2)
+      wy1[..., None], covy[:, :, None], covx[:, None], pool)
 
 
-def to_cm(imgs: jax.Array) -> jax.Array:
-    """[N, H, W, 3] -> channel-major row pool [N, H, 3W] (lane = c*w + x).
-    One batch-level relayout shared by every kernel call on the batch."""
-    n, h, w, _ = imgs.shape
-    return imgs.transpose(0, 1, 3, 2).reshape(n, h, 3 * w)
+def to_chw(imgs: jax.Array) -> jax.Array:
+    """[N, H, W, 3] -> channel-major pool [N, 3, H, W]. One batch-level
+    relayout shared by every kernel call AND the channel-plane pixel math."""
+    return imgs.transpose(0, 3, 1, 2)
 
 
-def mosaic_sample_idx(imgs_cm: jax.Array, tidx: jax.Array, oxw: jax.Array,
+def from_chw(imgs: jax.Array) -> jax.Array:
+    """[N, 3, H, W] -> [N, H, W, 3] (fuses with a dtype cast downstream)."""
+    return imgs.transpose(0, 2, 3, 1)
+
+
+def mosaic_sample_idx(pool: jax.Array, tidx: jax.Array, oxw: jax.Array,
                       oyw: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
                       interpret: bool = False) -> jax.Array:
-    """Mosaic sampling with tiles fetched from a c-major source pool by
-    index: imgs_cm = to_cm(batch) [N, H, 3W], tidx [B, 4] rows = (self +
-    3 partners). Remaining args as mosaic_sample."""
-    _, h, w3 = imgs_cm.shape
-    w = w3 // 3
-    return _warp_cm(imgs_cm, tidx, oxw, oyw, xs_raw, ys_raw,
-                    hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
+    """Mosaic sampling with tiles fetched from a channel-major source pool
+    by index: pool = to_chw(batch) [N, 3, H, W], tidx [B, 4] rows = (self +
+    3 partners). Returns [B, 3, H, W]; remaining args as mosaic_sample."""
+    _, _, h, w = pool.shape
+    return _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw,
+                     hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
 
 
-def warp_sample_idx(imgs_cm: jax.Array, idx: jax.Array, xs_raw: jax.Array,
+def warp_sample_idx(pool: jax.Array, idx: jax.Array, xs_raw: jax.Array,
                     ys_raw: jax.Array, fill: float = 0.0,
                     interpret: bool = False) -> jax.Array:
-    """Single-image separable warp from a c-major pool by index (e.g. the
-    mixup partner permutation): idx [B] row indices into imgs_cm."""
+    """Single-image separable warp from a channel-major pool by index (e.g.
+    the mixup partner permutation): idx [B] rows into pool [N, 3, H, W].
+    Returns [B, 3, H, W]."""
     b = idx.shape[0]
-    _, h, w3 = imgs_cm.shape
-    w = w3 // 3
+    _, _, h, w = pool.shape
     zeros = jnp.zeros((b, 1), jnp.int32)
-    return _warp_cm(imgs_cm, idx[:, None].astype(jnp.int32), zeros, zeros,
-                    xs_raw, ys_raw, hix=w, hiy=h, fill=fill,
-                    interpret=interpret)
+    return _warp_chw(pool, idx[:, None].astype(jnp.int32), zeros, zeros,
+                     xs_raw, ys_raw, hix=w, hiy=h, fill=fill,
+                     interpret=interpret)
 
 
 def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
                   xs_raw: jax.Array, ys_raw: jax.Array,
                   max_scale: float = 2.0,
                   interpret: bool = False) -> jax.Array:
-    """Batched mosaic sampling.
+    """Batched mosaic sampling (NHWC convenience wrapper over the pool API).
 
     tiles [B, 4, H, W, 3] (pixel dtype), oxw/oyw [B, 4] int32 tile origins in
     window coords, xs_raw/ys_raw [B, W]/[B, H] float source coordinates
@@ -258,10 +257,11 @@ def mosaic_sample(tiles: jax.Array, oxw: jax.Array, oyw: jax.Array,
     y-pass has no target-window bound)."""
     del max_scale
     b, nk, h, w, _ = tiles.shape
-    pool = to_cm(tiles.reshape(b * nk, h, w, 3))
+    pool = to_chw(tiles.reshape(b * nk, h, w, 3))
     tidx = jnp.arange(b * nk, dtype=jnp.int32).reshape(b, nk)
-    return _warp_cm(pool, tidx, oxw, oyw, xs_raw, ys_raw,
-                    hix=2 * w, hiy=2 * h, fill=FILL, interpret=interpret)
+    return from_chw(_warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw,
+                              hix=2 * w, hiy=2 * h, fill=FILL,
+                              interpret=interpret))
 
 
 def warp_sample(imgs: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
@@ -273,5 +273,6 @@ def warp_sample(imgs: jax.Array, xs_raw: jax.Array, ys_raw: jax.Array,
     bf16-operand matmul rounding (~1 grey level). Coords may be decreasing
     (flips) — the taps are elementwise per output row/column."""
     b = imgs.shape[0]
-    return warp_sample_idx(to_cm(imgs), jnp.arange(b, dtype=jnp.int32),
-                           xs_raw, ys_raw, fill=fill, interpret=interpret)
+    return from_chw(warp_sample_idx(
+        to_chw(imgs), jnp.arange(b, dtype=jnp.int32), xs_raw, ys_raw,
+        fill=fill, interpret=interpret))

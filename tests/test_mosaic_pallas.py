@@ -113,7 +113,7 @@ def test_warp_sample_matches_separable_bilinear():
 def test_mosaic_sample_idx_matches_gathered_tiles():
     """Scalar-prefetch pool indexing == explicit host-side tile gather."""
     from pl_yolo_tpu.ops.pallas.mosaic_pallas import (
-        mosaic_sample, mosaic_sample_idx, to_cm)
+        from_chw, mosaic_sample, mosaic_sample_idx, to_chw)
 
     rng = np.random.default_rng(21)
     b, h, w = 3, 64, 64
@@ -126,7 +126,38 @@ def test_mosaic_sample_idx_matches_gathered_tiles():
     want = np.asarray(mosaic_sample(
         jnp.asarray(tiles), jnp.asarray(oxw), jnp.asarray(oyw),
         jnp.asarray(xs), jnp.asarray(ys), interpret=True))
-    got = np.asarray(mosaic_sample_idx(
-        to_cm(jnp.asarray(batch)), jnp.asarray(tidx), jnp.asarray(oxw),
-        jnp.asarray(oyw), jnp.asarray(xs), jnp.asarray(ys), interpret=True))
+    got = np.asarray(from_chw(mosaic_sample_idx(
+        to_chw(jnp.asarray(batch)), jnp.asarray(tidx), jnp.asarray(oxw),
+        jnp.asarray(oyw), jnp.asarray(xs), jnp.asarray(ys), interpret=True)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_device_augment_chw_path_matches_jnp_path():
+    """END-TO-END: device_augment with use_pallas='interpret' (the full
+    channel-major Pallas pipeline: pool fetch -> mosaic/mixup warp -> chw
+    HSV/flip/blends -> final NHWC transpose) == the NHWC jnp path, pixels
+    to bf16/kernel tolerance and labels exactly."""
+    from pl_yolo_tpu.data.augment import AugmentConfig, device_augment
+
+    rng = np.random.default_rng(31)
+    b, h, w = 4, 64, 64
+    images = jnp.asarray(rng.uniform(0, 255, (b, h, w, 3)), jnp.float32)
+    labels = np.zeros((b, 10, 5), np.float32)
+    labels[:, :3, 0] = rng.integers(0, 3, (b, 3))
+    labels[:, :3, 1:] = rng.uniform(10, 50, (b, 3, 4))
+    labels = jnp.asarray(labels)
+    base = dict(max_labels=20, mosaic_prob=1.0, mixup_prob=1.0,
+                hsv_prob=1.0, flip_prob=0.5, pixel_dtype="float32")
+    key = jax.random.key(7)
+    img_ref, lab_ref = device_augment(
+        key, images, labels, AugmentConfig(**base, use_pallas="off"))
+    img_chw, lab_chw = device_augment(
+        key, images, labels, AugmentConfig(**base, use_pallas="interpret"))
+    assert img_ref.shape == img_chw.shape == (b, h, w, 3)
+    np.testing.assert_array_equal(np.asarray(lab_ref), np.asarray(lab_chw))
+    # pixel tolerance: bf16-operand matmuls give ~2 grey levels; HSV's hue
+    # sector selects can locally amplify that near max-channel ties, so the
+    # max bound is loose while the mean stays tight
+    diff = np.abs(np.asarray(img_ref) - np.asarray(img_chw))
+    assert diff.max() < 12.0, diff.max()
+    assert diff.mean() < 0.5, diff.mean()
