@@ -38,6 +38,12 @@ def topk_lastdim(x: jax.Array, k: int, block: int = 64) -> jax.Array:
     if a <= block:
         return jax.lax.top_k(x, min(k, a))[0]
     if k <= ITER_K_MAX:
+        if jax.default_backend() == "tpu":
+            # VMEM-resident extraction: one HBM read instead of k
+            # (ops/pallas/topk_pallas.py; 19.9 -> 2.1 ms @ [128,100,8400])
+            from .pallas.topk_pallas import topk_pallas
+
+            return topk_pallas(x, k)
         return _topk_iter(x, k)
     assert k <= block
     pad = (-a) % block

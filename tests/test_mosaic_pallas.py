@@ -161,3 +161,23 @@ def test_device_augment_chw_path_matches_jnp_path():
     diff = np.abs(np.asarray(img_ref) - np.asarray(img_chw))
     assert diff.max() < 12.0, diff.max()
     assert diff.mean() < 0.5, diff.mean()
+
+
+def test_topk_pallas_matches_lax_topk():
+    """VMEM-resident top-k kernel == lax.top_k values, incl. tie-heavy and
+    -inf rows (interpret mode)."""
+    from pl_yolo_tpu.ops.pallas.topk_pallas import topk_pallas
+
+    rng = np.random.default_rng(41)
+    x = rng.uniform(0, 1, (3, 7, 500)).astype(np.float32)
+    x[x < 0.6] = 0.0                       # heavy ties at zero
+    x[0, 0] = -np.inf                      # degenerate row
+    x[1, 2, :5] = 0.7                      # tied maxima
+    want = np.asarray(jax.lax.top_k(jnp.asarray(x), 10)[0])
+    got = np.asarray(topk_pallas(jnp.asarray(x), 10, interpret=True))
+    np.testing.assert_allclose(got, want)
+
+    # under vmap (simota_assign vmaps over the batch)
+    got_v = np.asarray(jax.vmap(
+        lambda r: topk_pallas(r, 10, interpret=True))(jnp.asarray(x)))
+    np.testing.assert_allclose(got_v, want)
