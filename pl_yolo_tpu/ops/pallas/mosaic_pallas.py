@@ -160,7 +160,14 @@ def _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
     flips, blends) runs at full lane utilization instead of 3/128."""
     b, nk = tidx.shape
     _, _, h, w = pool.shape
-    blk = 64 if h % 64 == 0 else h
+    # full-height tile blocks when VMEM allows (one DMA + one grid step per
+    # (image, tile)); else the largest 128/64-divisible row block
+    if 3 * h * w * 2 <= 4 * 1024 * 1024:
+        blk = h
+    elif h % 128 == 0:
+        blk = 128
+    else:
+        blk = 64 if h % 64 == 0 else h
     nblk = h // blk
     dtype = pool.dtype
     out_dtype = jnp.float32 if dtype == jnp.float32 else dtype
