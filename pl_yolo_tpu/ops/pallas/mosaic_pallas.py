@@ -40,39 +40,72 @@ from jax.experimental.pallas import tpu as pltpu
 FILL = 114.0
 
 
-def _mosaic_kernel(tidx_ref, x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref,
-                   y1_ref, wy0_ref, wy1_ref, covy_ref, covx_ref, tiles_ref,
+def _axis_taps(coords, org, n, hi, origins_row, b_, nk):
+    """In-kernel 2-sparse bilinear taps along one axis: coords is a (1, L)
+    row or (L, 1) column of raw source positions, org the tile's origin
+    scalar. Returns (t0, t1, w0, w1, cov) with the same shape as coords;
+    cov uses all nk origins from the prefetched origins_row ref."""
+    v = (coords >= 0) & (coords <= hi - 1)
+    csc = jnp.clip(coords, 0.0, float(hi - 1))
+    g0 = jnp.floor(csc).astype(jnp.int32)
+    f = (csc - g0).astype(jnp.float32)
+    g1 = g0 + 1
+    a0 = g0 - org
+    a1 = g1 - org
+    in0 = (a0 >= 0) & (a0 < n)
+    in1 = (a1 >= 0) & (a1 < n)
+    w0 = (1.0 - f) * in0 * v
+    w1 = f * in1 * v
+
+    def in_any(g):
+        hit = jnp.zeros(g.shape, bool)
+        for kk in range(nk):
+            o = origins_row[b_, kk]
+            hit = hit | ((g - o >= 0) & (g - o < n))
+        return hit
+
+    cov = ((1.0 - f) * in_any(g0) + f * in_any(g1)) * v
+    return jnp.clip(a0, 0, n - 1), jnp.clip(a1, 0, n - 1), w0, w1, cov
+
+
+def _mosaic_kernel(tidx_ref, oxw_ref, oyw_ref, xs_ref, ys_ref, tiles_ref,
                    out_ref, sel_scr, *, blk_rows: int, tile_w: int,
-                   out_w: int, fill: float):
+                   out_w: int, hix: int, hiy: int, fill: float):
     del tidx_ref  # consumed by the block index maps (scalar prefetch)
+    b_ = pl.program_id(0)
     k = pl.program_id(1)
     blk = pl.program_id(2)
     nk = pl.num_programs(1)
     nblk = pl.num_programs(2)
+    h = out_ref.shape[2]
+    w = out_w
 
     @pl.when((k == 0) & (blk == 0))
     def _init():
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    # per-tile x interpolation matrix [tile_w, out_w], rebuilt when the tile
-    # changes: sel[x, j] = (x == x0_k[j]) wx0_k[j] + (x == x1_k[j]) wx1_k[j]
-    # (all reads stay 2D (1, w) row vectors — no sublane<->lane transposes,
-    # which Mosaic cannot legalize)
+    # per-tile x interpolation matrix [tile_w, out_w] built in-kernel from
+    # the raw coordinate row + prefetched origin scalars (the host-side
+    # vmapped tap prep measured ~8 ms @B128): sel[x, j] =
+    # (x == x0[j]) wx0[j] + (x == x1[j]) wx1[j]
+    ox = oxw_ref[b_, k]
+    x0, x1, wx0, wx1, covx = _axis_taps(xs_ref[0], ox, w, hix,
+                                        oxw_ref, b_, nk)        # (1, w)
+
     @pl.when(blk == 0)
     def _build_sel():
         src = jax.lax.broadcasted_iota(jnp.int32, (tile_w, out_w), 0)
-        sel = ((src == x0_ref[0, 0]) * wx0_ref[0, 0]
-               + (src == x1_ref[0, 0]) * wx1_ref[0, 0])
+        sel = (src == x0) * wx0 + (src == x1) * wx1
         sel_scr[:] = sel.astype(sel_scr.dtype)
 
-    # y taps: mirror of sel along rows. Column taps y0/y1 [hout, 1] give
-    # Wy[i, s] = (s == y0[i]) wy0[i] + (s == y1[i]) wy1[i] for the tile rows
-    # s of this block.
-    hout = out_ref.shape[2]
-    s_ids = (jax.lax.broadcasted_iota(jnp.int32, (hout, blk_rows), 1)
+    # y taps: mirror of sel along rows, as (h, 1) columns. Wy[i, s] =
+    # (s == y0[i]) wy0[i] + (s == y1[i]) wy1[i] for this block's tile rows.
+    oy = oyw_ref[b_, k]
+    y0, y1, wy0, wy1, covy = _axis_taps(ys_ref[0], oy, h, hiy,
+                                        oyw_ref, b_, nk)        # (h, 1)
+    s_ids = (jax.lax.broadcasted_iota(jnp.int32, (h, blk_rows), 1)
              + blk * blk_rows)
-    wy = ((s_ids == y0_ref[0, 0]) * wy0_ref[0, 0]
-          + (s_ids == y1_ref[0, 0]) * wy1_ref[0, 0]).astype(jnp.bfloat16)
+    wy = ((s_ids == y0) * wy0 + (s_ids == y1) * wy1).astype(jnp.bfloat16)
 
     # per channel (tiles and output are channel-major planes): x-pass matmul
     # against sel, y-pass matmul against Wy, accumulate into the channel's
@@ -89,62 +122,10 @@ def _mosaic_kernel(tidx_ref, x0_ref, x1_ref, wx0_ref, wx1_ref, y0_ref,
 
     @pl.when((k == nk - 1) & (blk == nblk - 1))
     def _fill():
-        cov = covy_ref[0] * covx_ref[0]                    # (h,1)*(1,w)
+        cov = covy * covx                                  # (h,1)*(1,w)
         add = (fill * (1.0 - cov)).astype(out_ref.dtype)
         for c in range(3):
             out_ref[0, c] += add
-
-
-def _taps(coords, origins, n, hi):
-    """Per-tile 2-sparse bilinear taps along one axis.
-
-    coords [L] raw source coords (any order — everything is elementwise, so
-    flipped/decreasing grids are fine); origins [K] tile origins; n tile
-    extent; hi sampling-window extent (2n for the mosaic window, n for a
-    plain warp). Returns per-tile local tap indices t0/t1 [K, L] (clipped)
-    and weights w0/w1 [K, L] (masked to zero outside the tile / outside the
-    window), plus the any-tile coverage [L]."""
-    v = (coords >= 0) & (coords <= hi - 1)
-    csc = jnp.clip(coords, 0.0, float(hi - 1))
-    g0 = jnp.floor(csc).astype(jnp.int32)                  # global window idx
-    f = (csc - g0).astype(jnp.float32)
-    g1 = g0 + 1
-
-    t0s, t1s, w0s, w1s = [], [], [], []
-    for k in range(origins.shape[0]):
-        a0 = g0 - origins[k]
-        a1 = g1 - origins[k]
-        in0 = (a0 >= 0) & (a0 < n)
-        in1 = (a1 >= 0) & (a1 < n)
-        t0s.append(jnp.clip(a0, 0, n - 1))
-        t1s.append(jnp.clip(a1, 0, n - 1))
-        w0s.append(((1.0 - f) * in0 * v).astype(jnp.float32))
-        w1s.append((f * in1 * v).astype(jnp.float32))
-
-    def in_any(g):
-        hit = jnp.zeros(g.shape, bool)
-        for k in range(origins.shape[0]):
-            hit = hit | ((g - origins[k] >= 0) & (g - origins[k] < n))
-        return hit
-
-    cov = (((1.0 - f) * in_any(g0) + f * in_any(g1)) * v).astype(jnp.float32)
-    return (jnp.stack(t0s), jnp.stack(t1s), jnp.stack(w0s), jnp.stack(w1s),
-            cov)
-
-
-def _prepare_inputs(oxw, oyw, xs_raw, ys_raw, h, w, hix, hiy):
-    """Per-image (vmapped) kernel inputs from the mosaic geometry — pure
-    elementwise math, no gathers/searchsorted (those dominated an earlier
-    row-sparse formulation at ~49 ms; this is <1 ms @ B64).
-
-    oxw/oyw: [4] int32 tile origins in window coords; xs_raw/ys_raw: [w],[h]
-    float source coords (uncropped, monotonic). Tiles 0/1 partition the
-    window columns and tiles 0/2 the rows (quadrant layout), so the x taps
-    only differ between column-pair {0,2} and {1,3}, same for y — but we keep
-    all 4 for clarity; the prep is trivially cheap."""
-    x0, x1, wx0, wx1, covx = _taps(xs_raw, oxw, w, hix)
-    y0, y1, wy0, wy1, covy = _taps(ys_raw, oyw, h, hiy)
-    return x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx
 
 
 def _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
@@ -155,9 +136,12 @@ def _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
     the pool per (image, tile) — the kernel's block index maps read it via
     scalar prefetch, so tile pixels stream straight from the source pool
     with NO host-side gather / concat / per-tile relayout (those were
-    ~2.5 GB of HBM traffic per step at B128/640). Returns [B, 3, H, W]:
-    channel planes are full (h, w) tiles, so downstream pixel math (HSV,
-    flips, blends) runs at full lane utilization instead of 3/128."""
+    ~2.5 GB of HBM traffic per step at B128/640). Tile origins ride the
+    same scalar prefetch and the 2-sparse taps are built in-kernel from the
+    raw coordinate row/column (the vmapped host prep measured ~8 ms @B128).
+    Returns [B, 3, H, W]: channel planes are full (h, w) tiles, so
+    downstream pixel math (HSV, flips, blends) runs at full lane
+    utilization instead of 3/128."""
     b, nk = tidx.shape
     _, _, h, w = pool.shape
     # full-height tile blocks when VMEM allows (one DMA + one grid step per
@@ -174,31 +158,23 @@ def _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
     if dtype == jnp.float32:
         pool = pool.astype(jnp.bfloat16)
 
-    x0, x1, wx0, wx1, y0, y1, wy0, wy1, covy, covx = jax.vmap(
-        functools.partial(_prepare_inputs, h=h, w=w, hix=hix, hiy=hiy)
-    )(oxw, oyw, xs_raw, ys_raw)
-
     kern = functools.partial(_mosaic_kernel, blk_rows=blk, tile_w=w, out_w=w,
-                             fill=fill)
+                             hix=hix, hiy=hiy, fill=fill)
     # Mosaic constraint: the last two dims of every block must be divisible
-    # by (8, 128) or equal the full array dims — small per-image vectors get
-    # unit dims so "equal the full dim" holds trivially. Row vectors ship as
-    # [B,K,1,w] (read (1,w)), column vectors as [B,K,h,1] (read (h,1)).
-    # Index maps take the prefetched tidx ref as their last argument.
-    rowv = pl.BlockSpec((1, 1, 1, w), lambda b_, k, j, t: (b_, k, 0, 0))
-    colv = pl.BlockSpec((1, 1, h, 1), lambda b_, k, j, t: (b_, k, 0, 0))
+    # by (8, 128) or equal the full array dims — the coordinate row/column
+    # get unit dims so "equal the full dim" holds trivially. Index maps take
+    # the three prefetched scalar refs (tidx, oxw, oyw) as trailing args.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(b, nk, nblk),
         in_specs=[
-            rowv, rowv, rowv, rowv,                        # x0 x1 wx0 wx1
-            colv, colv, colv, colv,                        # y0 y1 wy0 wy1
-            pl.BlockSpec((1, h, 1), lambda b_, k, j, t: (b_, 0, 0)),
-            pl.BlockSpec((1, 1, w), lambda b_, k, j, t: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, w), lambda b_, k, j, t, ox, oy: (b_, 0, 0)),
+            pl.BlockSpec((1, h, 1), lambda b_, k, j, t, ox, oy: (b_, 0, 0)),
             pl.BlockSpec((1, 3, blk, w),                   # source pool rows
-                         lambda b_, k, j, t: (t[b_, k], 0, j, 0)),
+                         lambda b_, k, j, t, ox, oy: (t[b_, k], 0, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 3, h, w), lambda b_, k, j, t: (b_, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 3, h, w),
+                               lambda b_, k, j, t, ox, oy: (b_, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((w, w), jnp.bfloat16)],
     )
     return pl.pallas_call(
@@ -210,9 +186,9 @@ def _warp_chw(pool, tidx, oxw, oyw, xs_raw, ys_raw, hix, hiy, fill,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(tidx, x0[:, :, None], x1[:, :, None], wx0[:, :, None],
-      wx1[:, :, None], y0[..., None], y1[..., None], wy0[..., None],
-      wy1[..., None], covy[:, :, None], covx[:, None], pool)
+    )(tidx, oxw.astype(jnp.int32), oyw.astype(jnp.int32),
+      xs_raw.astype(jnp.float32)[:, None, :],
+      ys_raw.astype(jnp.float32)[:, :, None], pool)
 
 
 def to_chw(imgs: jax.Array) -> jax.Array:
