@@ -168,3 +168,45 @@ def test_device_augment_no_mosaic_passthrough(rng):
                           flip_prob=0.0, max_labels=8)
     out16, _ = device_augment(jax.random.key(0), images, jnp.asarray(labels), cfg16)
     assert float(jnp.abs(out16 - images).max()) <= 1.0
+
+
+def test_hsv_jitter_matches_classic_roundtrip(rng):
+    """The fused branchless HSV (sector formula, 0..255 value domain)
+    matches the classic i/p/q/t roundtrip formulation."""
+    img = jnp.asarray(rng.uniform(0, 255, (32, 32, 3)).astype(np.float32))
+
+    def classic(rng_, img_, hgain=0.015, sgain=0.7, vgain=0.4):
+        r = jax.random.uniform(rng_, (3,), minval=-1.0, maxval=1.0)
+        rgb = img_ / 255.0
+        rc, gc, bc = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        maxc = jnp.max(rgb, axis=-1)
+        minc = jnp.min(rgb, axis=-1)
+        v = maxc
+        delta = maxc - minc
+        s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+        safe = jnp.maximum(delta, 1e-12)
+        hr = ((gc - bc) / safe) % 6.0
+        hg = (bc - rc) / safe + 2.0
+        hb = (rc - gc) / safe + 4.0
+        h = jnp.where(maxc == rc, hr, jnp.where(maxc == gc, hg, hb))
+        h = jnp.where(delta > 0, h / 6.0, 0.0)
+        h = (h * (r[0] * hgain + 1.0)) % 1.0
+        s = jnp.clip(s * (r[1] * sgain + 1.0), 0.0, 1.0)
+        v = jnp.clip(v * (r[2] * vgain + 1.0), 0.0, 1.0)
+        i = jnp.floor(h * 6.0)
+        f = h * 6.0 - i
+        p = v * (1.0 - s)
+        q = v * (1.0 - s * f)
+        t = v * (1.0 - s * (1.0 - f))
+        i = i.astype(jnp.int32) % 6
+        sel = [i == k for k in range(6)]
+        rr = jnp.select(sel, [v, q, p, p, t, v])
+        gg = jnp.select(sel, [t, v, v, q, p, p])
+        bb = jnp.select(sel, [p, p, t, v, v, q])
+        return jnp.stack([rr, gg, bb], axis=-1) * 255.0
+
+    for seed in range(3):
+        key = jax.random.key(seed)
+        want = np.asarray(classic(key, img))
+        got = np.asarray(hsv_jitter(key, img))
+        np.testing.assert_allclose(got, want, atol=0.01)
