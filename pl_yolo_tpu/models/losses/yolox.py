@@ -219,14 +219,20 @@ def yolox_loss(
     gt_classes = labels[..., 0].astype(jnp.int32)
     gt_boxes = labels[..., 1:5]
 
+    # NOTE: a fully-fused Pallas assignment exists
+    # (ops/pallas/simota_pallas.py: the whole [M, A] cost/top-k/matching
+    # pipeline per image in VMEM) and measures 15.7 ms standalone at
+    # B128/M100/A8400 — but IN the train step it regressed the bench
+    # 504.7 -> 298.6 img/s (the opaque custom call defeats XLA's
+    # overlap/fusion around the assignment). The jnp path with the Pallas
+    # top-k (ops/pallas/topk_pallas.py) stays the production path.
+    sg = jax.lax.stop_gradient
     assign = jax.vmap(
         functools.partial(simota_assign),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
     )(
-        jax.lax.stop_gradient(gt_boxes), gt_classes, gt_valid,
-        jax.lax.stop_gradient(bbox_preds),
-        jax.lax.stop_gradient(obj_logits),
-        jax.lax.stop_gradient(cls_logits),
+        sg(gt_boxes), gt_classes, gt_valid, sg(bbox_preds),
+        sg(obj_logits), sg(cls_logits),
         d.x_shifts, d.y_shifts, d.strides,
     )
 
