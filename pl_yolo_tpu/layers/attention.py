@@ -179,6 +179,9 @@ class SKFF(nn.Module):
 
 from .attention_extra import (ACmix, DAttention, HaloAttention,  # noqa: E402
                               MobileViTAttention, OutlookAttention)
+from .attention_more import (BAM, SGE, ExternalAttention,  # noqa: E402
+                             PolarizedSelfAttention, SKAttention,
+                             TripletAttention)
 
 ATTENTION = {
     "se": SELayer,
@@ -195,6 +198,12 @@ ATTENTION = {
     "mobilevit": MobileViTAttention,
     "acmix": ACmix,
     "dat": DAttention,
+    "bam": BAM,
+    "triplet": TripletAttention,
+    "sk": SKAttention,
+    "external": ExternalAttention,
+    "psa": PolarizedSelfAttention,
+    "sge": SGE,
 }
 
 
