@@ -27,6 +27,7 @@ from .backbones.eelan import EELAN
 from .backbones.mobile import CSPMobileNext, ECMNet, MobileNetV3
 from .backbones.shufflenetv2 import ShuffleNetV2
 from .backbones.swin import SwinTransformer
+from .backbones.swinv2 import SwinTransformerV2
 from .backbones.vit import VisionTransformer
 from .losses.yolox import yolox_eval_decode, yolox_loss
 from .losses.yolov7 import yolov7_eval_decode, yolov7_loss
@@ -149,8 +150,9 @@ def _mobilenetv3(size: str):
     return make
 
 
-def _swin(cfg: dict) -> nn.Module:
-    return SwinTransformer(
+def _swin(cfg: dict, v2: bool = False) -> nn.Module:
+    klass = SwinTransformerV2 if v2 else SwinTransformer
+    return klass(
         embed_dim=int(cfg.get("embed_dim", 96)),
         depths=tuple(cfg.get("depths", (2, 2, 6, 2))),
         num_heads=tuple(cfg.get("num_heads", (3, 6, 12, 24))),
@@ -195,6 +197,7 @@ BACKBONES: dict[str, Callable[[dict], nn.Module]] = {
     "mobilenetv3s": _mobilenetv3("small"),
     "mobilenetv3l": _mobilenetv3("large"),
     "swin_transformer": _swin,
+    "swin_transformerv2": functools.partial(_swin, v2=True),
     "vision_transformer": _vit,
     # extras the reference ships but never wires (SURVEY §2.3) — wired here
     "efficientrep": _extras("EfficientRep"),

@@ -122,3 +122,26 @@ def test_swin_drop_path_stochastic_depth():
     t1 = m.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
     t2 = m.apply(v, x, True, rngs={"dropout": jax.random.key(2)})
     assert np.abs(np.asarray(t1[-1]) - np.asarray(t2[-1])).max() > 1e-3
+
+
+def test_swinv2_backbone_forward():
+    """SwinV2 (cosine attention + post-norm + continuous rel-pos bias)
+    produces the detection pyramid like V1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pl_yolo_tpu.models.backbones.swinv2 import SwinTransformerV2
+
+    m = SwinTransformerV2(embed_dim=24, depths=(1, 1, 1), num_heads=(2, 4, 4),
+                          out_indices=(0, 1, 2), drop_path_rate=0.1)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 112, 112, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x)
+    outs = m.apply(v, x, False)
+    assert [o.shape for o in outs] == [(2, 28, 28, 24), (2, 14, 14, 48),
+                                       (2, 7, 7, 96)]
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+    # train mode with stochastic depth runs through the dropout rng
+    t = m.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(t[-1])).all()
