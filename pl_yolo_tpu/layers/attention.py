@@ -179,9 +179,10 @@ class SKFF(nn.Module):
 
 from .attention_extra import (ACmix, DAttention, HaloAttention,  # noqa: E402
                               MobileViTAttention, OutlookAttention)
-from .attention_more import (BAM, SGE, ExternalAttention,  # noqa: E402
-                             PolarizedSelfAttention, SKAttention,
-                             TripletAttention)
+from .attention_more import (BAM, SGE, CoTAttention,  # noqa: E402
+                             ExternalAttention, ParNetAttention,
+                             PolarizedSelfAttention, S2Attention,
+                             SKAttention, TripletAttention)
 
 ATTENTION = {
     "se": SELayer,
@@ -204,6 +205,9 @@ ATTENTION = {
     "external": ExternalAttention,
     "psa": PolarizedSelfAttention,
     "sge": SGE,
+    "cot": CoTAttention,
+    "parnet": ParNetAttention,
+    "s2": S2Attention,
 }
 
 

@@ -1,7 +1,8 @@
 """Mid-weight attention plug-ins: BAM, Triplet, SK, External, Polarized
-(parallel PSA), SGE — TPU-native NHWC flax ports of the corresponding
-reference zoo modules (models/layers/attention/{BAM,TripletAttention,
-SKAttention,ExternalAttention,PolarizedSelfAttention,SGE}.py).
+(parallel PSA), SGE, CoT, ParNet, S2-MLP — TPU-native NHWC flax ports of
+the corresponding reference zoo modules (models/layers/attention/{BAM,
+TripletAttention,SKAttention,ExternalAttention,PolarizedSelfAttention,SGE,
+CoTAttention,ParNetAttention,S2Attention}.py).
 
 All modules preserve [B, H, W, C], take no required constructor args (the
 plug-in registry contract), and express their contractions as dense
@@ -165,3 +166,99 @@ class SGE(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, g))
         t = t * weight + bias
         return (xg * jax.nn.sigmoid(t)[..., None]).reshape(b, h, w, c)
+
+
+class CoTAttention(nn.Module):
+    """Contextual transformer (CoTAttention.py:13-50): static 3x3 group-conv
+    key context + dynamic per-position value reweighting from a softmaxed
+    attention embedding (averaged over the k*k head dim)."""
+
+    kernel_size: int = 3
+    factor: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        ks = self.kernel_size
+        k1 = nn.Conv(c, (ks, ks), feature_group_count=4, use_bias=False,
+                     name="key")(x)
+        k1 = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                  name="key_bn")(k1))
+        v = nn.Conv(c, (1, 1), use_bias=False, name="value")(x)
+        v = nn.BatchNorm(use_running_average=not train, name="value_bn")(v)
+        y = jnp.concatenate([k1, x], axis=-1)
+        a = nn.Conv(2 * c // self.factor, (1, 1), use_bias=False,
+                    name="att1")(y)
+        a = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                 name="att_bn")(a))
+        a = nn.Conv(ks * ks * c, (1, 1), name="att2")(a)
+        b, h, w, _ = a.shape
+        att = jnp.mean(a.reshape(b, h, w, ks * ks, c), axis=3)
+        # softmax over positions (reference flattens h*w to dim -1)
+        att = att.reshape(b, h * w, c)
+        att = jax.nn.softmax(att, axis=1).reshape(b, h, w, c)
+        return k1 + att * v
+
+
+class ParNetAttention(nn.Module):
+    """ParNet block (ParNetAttention.py:10-35): silu(1x1 + 3x3 + SSE-gated
+    input)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        c = x.shape[-1]
+        x1 = nn.BatchNorm(use_running_average=not train, name="bn1")(
+            nn.Conv(c, (1, 1), name="conv1")(x))
+        x2 = nn.BatchNorm(use_running_average=not train, name="bn3")(
+            nn.Conv(c, (3, 3), name="conv3")(x))
+        gate = jax.nn.sigmoid(
+            nn.Conv(c, (1, 1), name="sse")(jnp.mean(x, (1, 2),
+                                                    keepdims=True)))
+        return jax.nn.silu(x1 + x2 + gate * x)
+
+
+def _spatial_shift(x: jax.Array, order: int) -> jax.Array:
+    """S2-MLP quarter-channel shifts (S2Attention.py:7-22) as padded slices
+    (the reference mutates in place; jnp.roll would wrap — edge rows keep
+    their original values exactly like the torch slicing)."""
+    c = x.shape[-1]
+    q = c // 4
+    def sh(t, axis, d):
+        # shift by d with edge hold (non-shifted positions keep originals)
+        pad = [(0, 0)] * t.ndim
+        if d > 0:
+            pad[axis] = (1, 0)
+            sl = [slice(None)] * t.ndim
+            sl[axis] = slice(0, t.shape[axis])
+            return jnp.pad(t, pad, mode="edge")[tuple(sl)]
+        pad[axis] = (0, 1)
+        sl = [slice(None)] * t.ndim
+        sl[axis] = slice(1, t.shape[axis] + 1)
+        return jnp.pad(t, pad, mode="edge")[tuple(sl)]
+    if order == 1:
+        parts = [sh(x[..., :q], 2, 1), sh(x[..., q:2 * q], 2, -1),
+                 sh(x[..., 2 * q:3 * q], 1, 1), sh(x[..., 3 * q:], 1, -1)]
+    else:
+        parts = [sh(x[..., :q], 1, 1), sh(x[..., q:2 * q], 1, -1),
+                 sh(x[..., 2 * q:3 * q], 2, 1), sh(x[..., 3 * q:], 2, -1)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+class S2Attention(nn.Module):
+    """Spatial-shift MLP attention (S2Attention.py:25-75): expand 3x, three
+    shifted branches fused by split attention, project back."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        y = nn.Dense(3 * c, name="mlp1")(x)
+        b1 = _spatial_shift(y[..., :c], 1)
+        b2 = _spatial_shift(y[..., c:2 * c], 2)
+        b3 = y[..., 2 * c:]
+        stacked = jnp.stack([b1, b2, b3], axis=1)          # [B, 3, H, W, C]
+        a = jnp.sum(stacked, axis=(1, 2, 3))               # [B, C]
+        ah = nn.Dense(3 * c, use_bias=False, name="sa_mlp2")(
+            nn.gelu(nn.Dense(c, use_bias=False, name="sa_mlp1")(a)))
+        bar = jax.nn.softmax(ah.reshape(b, 3, c), axis=1)
+        out = jnp.sum(stacked * bar[:, :, None, None, :], axis=1)
+        return nn.Dense(c, name="mlp3")(out)
