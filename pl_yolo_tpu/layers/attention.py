@@ -183,6 +183,17 @@ from .attention_more import (BAM, SGE, CoTAttention,  # noqa: E402
                              ExternalAttention, ParNetAttention,
                              PolarizedSelfAttention, S2Attention,
                              SKAttention, TripletAttention)
+from .attention_seq import (EMSA, AFTFull, DAModule,  # noqa: E402
+                            DoubleAttention, MobileViTv2Attention,
+                            MUSEAttention, ScaledDotProductAttention,
+                            SimplifiedSelfAttention, UFOAttention)
+from .attention_spatial import (AxialAttention, CABlock,  # noqa: E402
+                                CoAtNetBlock, CrissCrossAttention,
+                                CrossformerAttention, GFNetBlock,
+                                MOAGlobalAttention, MultiSpectralAttention,
+                                PyramidSplitAttention, ResidualAttention,
+                                SequentialPolarizedSelfAttention,
+                                ViPAttention)
 
 ATTENTION = {
     "se": SELayer,
@@ -208,6 +219,29 @@ ATTENTION = {
     "cot": CoTAttention,
     "parnet": ParNetAttention,
     "s2": S2Attention,
+    # token-style zoo (attention_seq.py)
+    "self": ScaledDotProductAttention,
+    "simself": SimplifiedSelfAttention,
+    "ufo": UFOAttention,
+    "muse": MUSEAttention,
+    "aft": AFTFull,
+    "mobilevitv2": MobileViTv2Attention,
+    "emsa": EMSA,
+    "danet": DAModule,
+    "a2": DoubleAttention,
+    # spatially-structured zoo (attention_spatial.py)
+    "crisscross": CrissCrossAttention,
+    "axial": AxialAttention,
+    "crossformer": CrossformerAttention,
+    "moa": MOAGlobalAttention,
+    "gfnet": GFNetBlock,
+    "vip": ViPAttention,
+    "epsa": PyramidSplitAttention,
+    "psa_seq": SequentialPolarizedSelfAttention,
+    "coatnet": CoAtNetBlock,
+    "ca_block": CABlock,
+    "fca": MultiSpectralAttention,
+    "residual": ResidualAttention,  # NOT shape-preserving (see class doc)
 }
 
 
