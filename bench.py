@@ -8,6 +8,14 @@ infer incl. NMS on COCO-shaped data. The reference publishes no numbers
 YOLOX-s 640x640 DDP training runs at roughly ~250 img/s on one A100 (fp16,
 batch 64; from the YOLOX paper's 300-epoch training-time scale). The
 north-star target is >= 2x that on a v5p chip.
+
+Besides the pure device-step rate, the bench measures the END-TO-END rate:
+real 640x640 JPEGs (a persistent synthetic COCO-layout set) flowing through
+COCODataset -> the pre-letterboxed uint8 disk cache -> TrainLoader ->
+device_prefetch -> the same train step. `e2e_images_per_sec` in the JSON is
+that number; `BENCH_E2E=0` skips it (`BENCH_E2E_IMAGES`, `BENCH_WORKERS`
+tune it). The one-time JPEG + disk-cache build persists under
+~/.cache/pl_yolo_tpu_bench.
 """
 
 from __future__ import annotations
@@ -27,6 +35,67 @@ BATCH = int(os.environ.get("BENCH_BATCH", 128))
 SIZE = int(os.environ.get("BENCH_SIZE", 640))
 WARMUP = 3
 ITERS = 10
+E2E = os.environ.get("BENCH_E2E", "1") != "0"
+E2E_IMAGES = int(os.environ.get("BENCH_E2E_IMAGES", 512))
+E2E_ITERS = int(os.environ.get("BENCH_E2E_ITERS", 12))
+E2E_WORKERS = int(os.environ.get("BENCH_WORKERS", 0))  # 1-core host default
+BENCH_CACHE = os.path.expanduser("~/.cache/pl_yolo_tpu_bench")
+
+
+def _ensure_bench_jpegs(n: int, size: int) -> str:
+    """Persistent synthetic COCO-layout JPEG set: textured backgrounds +
+    8 colored boxes per image, realistic decode cost. Returns the root."""
+    import json as _json
+    import pathlib
+
+    root = pathlib.Path(BENCH_CACHE) / f"jpegs_{n}_{size}"
+    marker = root / "annotations" / "instances.json"
+    if marker.exists():
+        try:
+            if len(_json.load(open(marker))["images"]) == n:
+                return str(root)
+        except Exception:
+            pass
+    from PIL import Image
+
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "annotations").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(96)
+    # textured base (shared ramps + per-image noise) keeps JPEGs honestly
+    # sized (~100-200 KB) without burning minutes on synthesis
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    ramps = np.stack([
+        120 + 60 * np.sin(2 * np.pi * 3 * xx / size),
+        120 + 60 * np.sin(2 * np.pi * 2 * yy / size),
+        120 + 50 * np.sin(2 * np.pi * (xx + yy) / size),
+    ], -1)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n):
+        img = ramps + rng.normal(0, 18, (size, size, 3))
+        boxes = []
+        for _ in range(8):
+            lo = min(40, max(size // 8, 2))
+            bw, bh = rng.integers(lo, max(size // 2, lo + 1), 2)
+            x, y = rng.integers(0, size - bw), rng.integers(0, size - bh)
+            cls = int(rng.integers(0, 80))
+            img[y:y + bh, x:x + bw] = rng.uniform(0, 255, 3)
+            boxes.append((int(x), int(y), int(bw), int(bh), cls))
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        fname = f"b{i:05d}.jpg"
+        Image.fromarray(arr).save(root / "images" / fname, quality=85)
+        images.append({"id": i + 1, "file_name": fname,
+                       "height": size, "width": size})
+        for (x, y, bw, bh, cls) in boxes:
+            annotations.append({
+                "id": ann_id, "image_id": i + 1, "category_id": cls + 1,
+                "bbox": [x, y, bw, bh], "area": bw * bh, "iscrowd": 0})
+            ann_id += 1
+    doc = {"images": images, "annotations": annotations,
+           "categories": [{"id": c + 1, "name": f"c{c}"} for c in range(80)]}
+    with open(marker, "w") as f:
+        _json.dump(doc, f)
+    return str(root)
 
 
 def main():
@@ -80,6 +149,34 @@ def main():
     _ = float(losses["loss"])  # forces the chained steps to complete
     train_ips = BATCH * ITERS / (time.perf_counter() - t0)
 
+    # ---- end-to-end: real JPEGs -> disk cache -> loader -> same train step
+    e2e_ips = None
+    if E2E:
+        from pl_yolo_tpu.data.datasets import COCODataset
+        from pl_yolo_tpu.data.loader import TrainLoader, device_prefetch
+
+        root = _ensure_bench_jpegs(E2E_IMAGES, SIZE)
+        ds = COCODataset(root, "annotations/instances.json", "images",
+                         img_size=(SIZE, SIZE), max_labels=50)
+        ds.attach_disk_cache(os.path.join(root, "diskcache"))
+        loader = TrainLoader(ds, BATCH, num_workers=E2E_WORKERS)
+        # uint8 end-to-end: the device-side augment consumes uint8 directly,
+        # so the host->device transfer is 1 byte/px (4x less than f32)
+        batches = device_prefetch(
+            loader, lambda b: (jnp.asarray(b["images"]),
+                               jnp.asarray(b["labels"])))
+        for i in range(2):  # compile (uint8 signature) + warm
+            imgs, labs = next(batches)
+            state, losses = step(state, imgs, labs, jax.random.key(200 + i))
+        _ = float(losses["loss"])
+        t0 = time.perf_counter()
+        for i in range(E2E_ITERS):
+            imgs, labs = next(batches)
+            state, losses = step(state, imgs, labs, jax.random.key(300 + i))
+        _ = float(losses["loss"])
+        e2e_ips = BATCH * E2E_ITERS / (time.perf_counter() - t0)
+        loader.close()
+
     # ---- inference + NMS
     eval_vars = state.eval_variables
 
@@ -107,6 +204,9 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(value / A100_TRAIN_IPS_ESTIMATE, 3),
         "infer_nms_images_per_sec_per_chip": round(infer_ips / n_chips, 2),
+        "e2e_images_per_sec": (round(e2e_ips, 2) if e2e_ips else None),
+        "e2e_frac_of_device": (round(e2e_ips / train_ips, 3) if e2e_ips
+                               else None),
         "batch": BATCH,
         "backend": jax.devices()[0].platform,
     }))

@@ -7,6 +7,8 @@ owns train/val/test datasets, loaders, and the device-augmentation config.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import jax
 
 from .augment import AugmentConfig, device_augment
@@ -26,6 +28,11 @@ class DataModule:
         self.class_names = list(data_cfg["classes"])
         self.seed = seed
         self.cache = cache
+        # input-path scaling knobs (reference coco.py:85-86 runs 6 workers;
+        # disk_cache replaces its full-RAM ThreadPool cache for datasets
+        # that don't fit RAM — see data/disk_cache.py)
+        self.num_workers = int(d.get("num_workers", 0))
+        self.disk_cache = d.get("disk_cache")
         self.augment_cfg = AugmentConfig.from_dict(
             data_cfg.get("transform", {}), max_labels=100)
         self.dataset_train = None
@@ -43,7 +50,8 @@ class DataModule:
             self.num_classes, seed=self.seed)
         return TrainLoader(self.dataset_train, self.train_batch_size,
                            shard_id=shard_id, num_shards=num_shards,
-                           seed=self.seed, host_augment=host_aug)
+                           seed=self.seed, host_augment=host_aug,
+                           num_workers=self.num_workers)
 
     def val_batches(self, shard_id: int = 0, num_shards: int = 1):
         return eval_batches(self.dataset_val, self.val_batch_size,
@@ -68,6 +76,9 @@ class COCODataModule(DataModule):
             self.dataset_train = COCODataset(
                 root, d["train_json"], d["train"], img_size=self.train_size,
                 max_labels=50, cache=self.cache)
+            if self.disk_cache:
+                self.dataset_train.attach_disk_cache(
+                    str(Path(self.disk_cache) / "train"))
             self.dataset_train.preload_cache()
         if stage in ("fit", "val", "all"):
             self.dataset_val = COCODataset(
@@ -92,6 +103,9 @@ class VOCDataModule(DataModule):
             self.dataset_train = VOCDataset(
                 root, d["train"], img_size=self.train_size, max_labels=50,
                 cache=self.cache, **kw)
+            if self.disk_cache:
+                self.dataset_train.attach_disk_cache(
+                    str(Path(self.disk_cache) / "train"))
             self.dataset_train.preload_cache()
         if stage in ("fit", "val", "all"):
             self.dataset_val = VOCDataset(

@@ -60,6 +60,18 @@ class DetectionDataset:
         self.max_labels = max_labels
         self.cache = cache
         self._cache_store: dict[int, np.ndarray] = {}
+        self._disk_cache = None
+
+    def attach_disk_cache(self, cache_dir, workers: int = 4,
+                          force: bool = False) -> None:
+        """Serve images from a pre-letterboxed uint8 memmap (building it on
+        first use) instead of decoding JPEGs per epoch — the scalable
+        replacement for the reference's full-RAM ThreadPool cache
+        (cocoDataset.py:137-158), see data/disk_cache.py."""
+        from .disk_cache import build_disk_cache
+
+        self._disk_cache = build_disk_cache(self, cache_dir, workers=workers,
+                                            force=force)
 
     def preload_cache(self, workers: int = 4) -> None:
         """Eagerly decode every image into the RAM cache with a thread pool
@@ -76,11 +88,18 @@ class DetectionDataset:
     def __len__(self):
         return len(self.ids)
 
-    def load_image(self, index: int) -> np.ndarray:
-        if self.cache and index in self._cache_store:
-            return self._cache_store[index]
+    def decode_image(self, index: int) -> np.ndarray:
+        """Raw decode + letterbox, bypassing every cache layer."""
         with Image.open(self._img_path(index)) as im:
             img, _ = letterbox_image(im, self.img_size)
+        return img
+
+    def load_image(self, index: int) -> np.ndarray:
+        if self._disk_cache is not None:
+            return self._disk_cache[index]
+        if self.cache and index in self._cache_store:
+            return self._cache_store[index]
+        img = self.decode_image(index)
         if self.cache:
             self._cache_store[index] = img
         return img

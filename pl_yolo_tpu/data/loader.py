@@ -11,15 +11,24 @@ unused there, first-class here), re-designed for the TPU input path:
   * Batches are plain numpy (uint8 images + padded labels); ALL augmentation
     beyond letterboxing runs on device (pl_yolo_tpu/data/augment.py), so the
     host loop is decode+resize only.
-  * A background thread keeps a small prefetch queue so host decode overlaps
-    device compute (the reference leans on torch DataLoader workers).
+  * `num_workers=0`: a background thread keeps a small prefetch queue so
+    host decode overlaps device compute. `num_workers>=1`: the reference's
+    DataLoader worker parallelism (coco.py:85-86) — N forked processes pull
+    batch-index lists from a shared queue and return collated batches; a
+    sequence-numbered reorder buffer makes the batch stream IDENTICAL to the
+    single-worker stream regardless of worker count (host_augment, which
+    carries worker-local RNG, is the one documented exception).
+  * `device_prefetch` wraps the stream to issue host->device transfers
+    `depth` batches ahead, so the DMA rides under the previous train step.
 """
 
 from __future__ import annotations
 
+import collections
+import multiprocessing as mp
 import queue
 import threading
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 
@@ -56,36 +65,70 @@ def _collate(samples):
             "img_id": ids}
 
 
+def _load_batch(dataset, idxs, host_augment):
+    samples = []
+    for idx in idxs:
+        sample = dataset[idx]
+        if host_augment is not None:
+            img, labels = host_augment(sample[0], sample[1])
+            sample = (img, labels, *sample[2:])
+        samples.append(sample)
+    return _collate(samples)
+
+
+def _worker_loop(dataset, host_augment, index_q, result_q, stop):
+    """Forked worker body: decode/collate index lists into batches. Runs only
+    numpy/PIL code — never touches jax (fork-safety with a live backend)."""
+    # forked children inherit the parent's signal handlers — the Trainer's
+    # SIGTERM preemption handler would swallow Process.terminate() and leave
+    # the worker alive forever (interpreter exit then hangs joining it)
+    import signal
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
+    while not stop.is_set():
+        try:
+            item = index_q.get(timeout=0.5)
+        except queue.Empty:
+            continue
+        if item is None:
+            return
+        seq, idxs = item
+        result_q.put((seq, _load_batch(dataset, idxs, host_augment)))
+
+
 class TrainLoader:
     """Infinite prefetching batch iterator over a DetectionDataset."""
 
     def __init__(self, dataset, batch_size: int, shard_id: int = 0,
                  num_shards: int = 1, seed: int = 96, prefetch: int = 2,
-                 host_augment=None):
+                 host_augment=None, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.host_augment = host_augment  # optional (img, labels) -> same
+        self.num_workers = num_workers
         self.sampler = InfiniteSampler(len(dataset), shard_id, num_shards, seed)
         self.steps_per_epoch = max(
             len(dataset) // (batch_size * num_shards), 1)
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._procs: list = []
+        if num_workers > 0:
+            self._start_workers(prefetch)
+        else:
+            self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+
+    # ------------------------------------------------- single-thread path
 
     def _worker(self):
-        batch = []
+        batch_idxs = []
         for idx in self.sampler:
             if self._stop.is_set():
                 return
-            sample = self.dataset[idx]
-            if self.host_augment is not None:
-                img, labels = self.host_augment(sample[0], sample[1])
-                sample = (img, labels, *sample[2:])
-            batch.append(sample)
-            if len(batch) == self.batch_size:
-                out = _collate(batch)
-                batch = []
+            batch_idxs.append(idx)
+            if len(batch_idxs) == self.batch_size:
+                out = _load_batch(self.dataset, batch_idxs, self.host_augment)
+                batch_idxs = []
                 while not self._stop.is_set():
                     try:
                         self._queue.put(out, timeout=0.5)
@@ -93,14 +136,108 @@ class TrainLoader:
                     except queue.Full:
                         continue
 
+    # ------------------------------------------------- multi-process path
+
+    def _start_workers(self, prefetch: int):
+        # fork: workers inherit the dataset (incl. memmap disk cache) and the
+        # host_augment closure without pickling; they run pure numpy
+        ctx = mp.get_context("fork")
+        self._mp_stop = ctx.Event()
+        self._index_q = ctx.Queue(maxsize=2 * self.num_workers)
+        self._result_q = ctx.Queue(maxsize=max(prefetch, self.num_workers))
+        # never let these queues' feeder threads block interpreter exit —
+        # the stream is infinite, losing buffered items at shutdown is fine
+        self._index_q.cancel_join_thread()
+        self._result_q.cancel_join_thread()
+        for _ in range(self.num_workers):
+            p = ctx.Process(
+                target=_worker_loop,
+                args=(self.dataset, self.host_augment, self._index_q,
+                      self._result_q, self._mp_stop),
+                daemon=True)
+            p.start()
+            self._procs.append(p)
+        self._reorder: dict[int, dict] = {}
+        self._next_seq = 0
+        self._feeder = threading.Thread(target=self._feed, daemon=True)
+        self._feeder.start()
+
+    def _feed(self):
+        seq = 0
+        batch_idxs = []
+        for idx in self.sampler:
+            if self._stop.is_set():
+                return
+            batch_idxs.append(idx)
+            if len(batch_idxs) == self.batch_size:
+                item = (seq, batch_idxs)
+                seq += 1
+                batch_idxs = []
+                while not self._stop.is_set():
+                    try:
+                        self._index_q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+    def _next_mp(self):
+        while self._next_seq not in self._reorder:
+            seq, batch = self._result_q.get()
+            self._reorder[seq] = batch
+        out = self._reorder.pop(self._next_seq)
+        self._next_seq += 1
+        return out
+
+    # ---------------------------------------------------------- interface
+
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self.num_workers > 0:
+            return self._next_mp()
         return self._queue.get()
 
     def close(self):
         self._stop.set()
+        if self.num_workers > 0:
+            self._mp_stop.set()
+            # unblock workers stuck in a blocking result_q.put (full queue,
+            # consumer gone) so they can observe the stop event
+            for _ in range(2 * len(self._procs)):
+                try:
+                    self._result_q.get_nowait()
+                except queue.Empty:
+                    break
+            for p in self._procs:
+                p.join(timeout=2.0)
+            for p in self._procs:
+                if p.is_alive():
+                    p.terminate()
+            # the parent's Queue feeder thread can be blocked writing into
+            # _index_q's pipe (readers gone); without cancel_join_thread the
+            # interpreter's atexit Queue join waits on it FOREVER (observed:
+            # train.py hung after fit() completed)
+            self._index_q.cancel_join_thread()
+            self._result_q.cancel_join_thread()
+            self._index_q.close()
+            self._result_q.close()
+
+
+def device_prefetch(batches, put_fn: Callable, depth: int = 2):
+    """Issue `put_fn` (device placement, e.g. shard_batch) `depth` batches
+    ahead of consumption. device_put is async, so the host->device DMA of
+    batch N+1 overlaps the device execution of batch N — the TPU-native
+    analogue of the reference's pin_memory+workers overlap
+    (PL_DataModules/coco.py:85-87)."""
+    it = iter(batches)
+    buf = collections.deque()
+    for _ in range(depth):
+        buf.append(put_fn(next(it)))
+    while True:
+        out = buf.popleft()
+        buf.append(put_fn(next(it)))
+        yield out
 
 
 def eval_batches(dataset, batch_size: int, shard_id: int = 0,

@@ -86,6 +86,62 @@ def test_train_loader_batches(coco_root):
     loader.close()
 
 
+def test_disk_cache_build_serve_and_stale_rebuild(coco_root, tmp_path):
+    ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                     img_size=(64, 64), max_labels=10)
+    cache_dir = tmp_path / "dc"
+    ds.attach_disk_cache(str(cache_dir), workers=2)
+    # cached images identical to fresh decode
+    for i in range(len(ds)):
+        np.testing.assert_array_equal(ds.load_image(i), ds.decode_image(i))
+    # reopen: fingerprint matches, no rebuild (mtime of data file unchanged)
+    data_file = cache_dir / "images.u8"
+    mtime = data_file.stat().st_mtime_ns
+    ds2 = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                      img_size=(64, 64), max_labels=10)
+    ds2.attach_disk_cache(str(cache_dir))
+    assert data_file.stat().st_mtime_ns == mtime
+    np.testing.assert_array_equal(ds2.load_image(1), ds.load_image(1))
+    # different letterbox size -> stale -> rebuilt at the new shape
+    ds3 = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                      img_size=(48, 48), max_labels=10)
+    ds3.attach_disk_cache(str(cache_dir))
+    assert ds3.load_image(0).shape == (48, 48, 3)
+    np.testing.assert_array_equal(ds3.load_image(0), ds3.decode_image(0))
+
+
+def test_multiworker_loader_matches_single_worker(coco_root):
+    ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
+                     img_size=(64, 64), max_labels=10)
+    single = TrainLoader(ds, batch_size=2, num_workers=0, seed=7)
+    multi = TrainLoader(ds, batch_size=2, num_workers=2, seed=7)
+    try:
+        for _ in range(6):  # spans an epoch boundary (4 imgs, bs 2)
+            a, b = next(single), next(multi)
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(a["img_id"], b["img_id"])
+    finally:
+        single.close()
+        multi.close()
+
+
+def test_device_prefetch_order_and_transform():
+    from pl_yolo_tpu.data.loader import device_prefetch
+    src = iter([{"x": np.full((2,), i)} for i in range(10)])
+    calls = []
+
+    def put(b):
+        calls.append(int(b["x"][0]))
+        return b["x"] + 100
+
+    it = device_prefetch(src, put, depth=2)
+    first = next(it)
+    assert first[0] == 100
+    assert calls[:3] == [0, 1, 2]  # ran 2 ahead of consumption
+    assert [int(next(it)[0]) for _ in range(4)] == [101, 102, 103, 104]
+
+
 def test_eval_batches_padding(coco_root):
     ds = COCODataset(str(coco_root), "annotations/instances.json", "images",
                      img_size=(64, 64))
