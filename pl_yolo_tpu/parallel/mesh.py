@@ -8,8 +8,15 @@ the batch sharded along the 'data' axis and parameters replicated. XLA/GSPMD
 inserts the gradient all-reduces over ICI, and BatchNorm's batch reductions
 become *global* (cross-replica synced BN) for free.
 
-The mesh carries a 'model' axis too so tensor-parallel sharding of the widest
-convs can be layered in without touching the step function.
+Tensor parallelism is user-reachable via the model yaml:
+
+    parallel:
+        model: 2        # 'model'-axis size; devices = data x model
+
+Conv kernels [kh,kw,cin,cout] (and their optimizer moments / EMA copies,
+which share the leaf structure) are sharded on cout over 'model'
+(`shard_tp`); GSPMD propagates the channel sharding through the network and
+inserts the collectives. The train step function itself never changes.
 """
 
 from __future__ import annotations
@@ -30,6 +37,26 @@ def make_mesh(data: int | None = None, model: int = 1,
         raise ValueError(f"mesh {data}x{model} != {n} devices")
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def tp_spec(x, model_size: int) -> P:
+    """PartitionSpec for one state leaf under cout tensor parallelism:
+    4D conv kernels whose cout divides the 'model' axis shard on cout;
+    everything else (biases, BN stats, scalars) replicates."""
+    if getattr(x, "ndim", 0) == 4 and x.shape[-1] % model_size == 0:
+        return P(None, None, None, "model")
+    return P()
+
+
+def shard_tp(tree, mesh: Mesh):
+    """Place a pytree (TrainState / params / opt moments) onto the mesh with
+    cout-sharded conv kernels. With a trivial 'model' axis this is plain
+    replication, so it is safe to call unconditionally."""
+    model_size = mesh.shape["model"]
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, tp_spec(x, model_size)))
+    return jax.tree.map(put, tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

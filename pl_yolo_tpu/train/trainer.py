@@ -75,19 +75,30 @@ class Trainer:
         # model
         self.model: DetectionModel = build_model(model_cfg, self.num_classes)
 
-        # mesh: all devices on 'data'. A batch that does not divide the
-        # device count is a hard config error — silently dropping to one
-        # device would waste the slice (VERDICT r1 weak #3). batch_size is
-        # PER HOST, so the divisibility constraint is against the host-local
-        # device count (global batch = bs x process_count).
+        # mesh: ('data', 'model'). The 'model' axis size comes from the model
+        # yaml (`parallel: {model: N}`, default 1 = pure DP); conv kernels
+        # are cout-sharded over 'model' when state is built (shard_tp).
+        # A batch that does not divide the data-axis size is a hard config
+        # error — silently dropping to one device would waste the slice
+        # (VERDICT r1 weak #3). batch_size is PER HOST, so the divisibility
+        # constraint is against the host-local data-parallel width
+        # (global batch = bs x process_count).
+        par = model_cfg.get("parallel", {}) or {}
+        self.model_par = int(par.get("model", 1))
         n_dev = jax.local_device_count()
-        bs = self.datamodule.train_batch_size
-        if bs % n_dev != 0:
+        if n_dev % self.model_par != 0:
             raise ValueError(
-                f"train batch_size={bs} must be divisible by the device "
-                f"count {n_dev}; raise the batch or shrink the slice "
-                f"(e.g. batch {bs * n_dev if bs < n_dev else bs - bs % n_dev})")
-        self.mesh = make_mesh()
+                f"parallel.model={self.model_par} must divide the device "
+                f"count {n_dev}")
+        data_par = n_dev // self.model_par
+        bs = self.datamodule.train_batch_size
+        if bs % data_par != 0:
+            raise ValueError(
+                f"train batch_size={bs} must be divisible by the data-"
+                f"parallel width {data_par}; raise the batch or shrink the "
+                f"slice (e.g. batch "
+                f"{bs * data_par if bs < data_par else bs - bs % data_par})")
+        self.mesh = make_mesh(model=self.model_par)
         self.ckpt = CheckpointManager(self.out_dir / "checkpoints",
                                       max_to_keep=save_top_k, monitor="mAP")
 
@@ -122,7 +133,11 @@ class Trainer:
             batch_size=1)
         tx, self._schedule = build_optimizer(
             self.model_cfg["optimizer"], total_steps)
-        return TrainState.create(variables, tx, use_ema=self.use_ema)
+        state = TrainState.create(variables, tx, use_ema=self.use_ema)
+        if self.model_par > 1:
+            from ..parallel.mesh import shard_tp
+            state = shard_tp(state, self.mesh)
+        return state
 
     def fit(self, resume_from: str | None = None, resume: bool = False):
         from ..parallel.distributed import shard_info
@@ -188,6 +203,13 @@ class Trainer:
         l1_in_no_aug = bool(sched.get("use_l1", True))
         static_l1 = bool(self.model_cfg.get("loss", {}).get("use_l1", False))
 
+        # device placement runs 2 batches ahead so the host->device DMA of
+        # batch N+1 rides under the device execution of batch N
+        from ..data.loader import device_prefetch
+        batches = device_prefetch(
+            loader, lambda b: shard_batch(self.mesh, {
+                "images": b["images"], "labels": b["labels"]}))
+
         with self.mesh:
             step = 0
             for epoch in range(start_epoch, self.max_epochs):
@@ -205,10 +227,7 @@ class Trainer:
                               f"{'OFF' if no_aug else 'on'}, "
                               f"L1 {'on' if flags['use_l1'] else 'off'}")
                 for i in range(steps_per_epoch):
-                    batch = next(loader)
-                    sharded = shard_batch(self.mesh, {
-                        "images": batch["images"],
-                        "labels": batch["labels"]})
+                    sharded = next(batches)
                     rng, step_rng = jax.random.split(rng)
                     if ms_sizes and not no_aug:
                         # new bucket every ms_interval steps (final no-aug
