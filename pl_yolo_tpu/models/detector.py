@@ -61,6 +61,7 @@ class OneStageDetector(nn.Module):
 # ---------------------------------------------------------------------------
 
 def _cspdarknet(cfg: dict) -> nn.Module:
+    db = cfg.get("drop_block", {}) or {}
     return CSPDarkNet(
         depths=tuple(cfg["depths"]),
         channels=tuple(cfg["channels"]),
@@ -68,6 +69,8 @@ def _cspdarknet(cfg: dict) -> nn.Module:
         depthwise=bool(cfg.get("depthwise", False)),
         norm=cfg.get("norm", "bn"),
         act=cfg.get("act", "silu"),
+        drop_block_rate=float(db.get("rate", 0.0)),
+        drop_block_size=int(db.get("size", 7)),
     )
 
 
@@ -173,6 +176,30 @@ def _vit(cfg: dict) -> nn.Module:
     )
 
 
+def _restv2(cfg: dict) -> nn.Module:
+    from .backbones.restv2 import ResTV2
+    return ResTV2(
+        depths=tuple(cfg.get("depths", (1, 2, 6, 2))),
+        embed_dims=tuple(cfg.get("embed_dims", (96, 192, 384, 768))),
+        num_heads=tuple(cfg.get("num_heads", (1, 2, 4, 8))),
+        sr_ratios=tuple(cfg.get("sr_ratios", (8, 4, 2, 1))),
+        drop_path_rate=float(cfg.get("drop_path_rate", 0.0)),
+        outputs=tuple(cfg.get("outputs", ("stage2", "stage3", "stage4"))),
+    )
+
+
+def _mctformer(cfg: dict) -> nn.Module:
+    from .backbones.mctformer import MCTformer
+    return MCTformer(
+        num_classes=int(cfg.get("num_cls_tokens", 80)),
+        embed_dim=int(cfg.get("embed_dim", 384)),
+        depth=int(cfg.get("depth", 12)),
+        num_heads=int(cfg.get("num_heads", 6)),
+        patch_size=int(cfg.get("patch_size", 16)),
+        mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+    )
+
+
 def _extras(name: str):
     def make(cfg: dict) -> nn.Module:
         from .backbones import extras
@@ -199,6 +226,8 @@ BACKBONES: dict[str, Callable[[dict], nn.Module]] = {
     "swin_transformer": _swin,
     "swin_transformerv2": functools.partial(_swin, v2=True),
     "vision_transformer": _vit,
+    "restv2": _restv2,
+    "mctformer": _mctformer,
     # extras the reference ships but never wires (SURVEY §2.3) — wired here
     "efficientrep": _extras("EfficientRep"),
     "resnet": _extras("ResNet"),

@@ -145,3 +145,102 @@ def test_swinv2_backbone_forward():
     # train mode with stochastic depth runs through the dropout rng
     t = m.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
     assert np.isfinite(np.asarray(t[-1])).all()
+
+
+def test_restv2_pyramid_shapes():
+    from pl_yolo_tpu.models.backbones.restv2 import ResTV2
+    m = ResTV2(depths=(1, 1, 1, 1), embed_dims=(16, 32, 64, 128),
+               num_heads=(1, 2, 4, 8), sr_ratios=(8, 4, 2, 1),
+               outputs=("stage2", "stage3", "stage4"))
+    outs = _run(m, size=64)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128)]
+    for o in outs:
+        assert jnp.isfinite(o).all()
+
+
+def test_restv2_trains_one_step():
+    import numpy as np
+    from pl_yolo_tpu.models.detector import build_model
+    from pl_yolo_tpu.train.optim import build_optimizer
+    from pl_yolo_tpu.train.state import TrainState, make_train_step
+
+    cfg = {
+        "backbone": {"name": "restv2", "depths": [1, 1, 1, 1],
+                     "embed_dims": [16, 32, 64, 128],
+                     "num_heads": [1, 2, 4, 8],
+                     "drop_path_rate": 0.1},
+        "neck": {"name": "csppafpn", "channels": [32, 64, 128],
+                 "depths": [1, 1, 1, 1]},
+        "head": {"name": "decoupled_head", "channels": [32, 64, 128]},
+        "loss": {"name": "yolox"},
+        "optimizer": {"name": "sgd", "lr": 0.01},
+    }
+    model = build_model(cfg, num_classes=3)
+    variables = model.init(jax.random.key(0), input_size=(64, 64))
+    tx, _ = build_optimizer(cfg["optimizer"], total_steps=10)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model.module.apply, model.loss.train_loss,
+                           donate=False)
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32)
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[:, 0] = [1, 32, 32, 20, 20]
+    new_state, losses = step(state, images, jnp.asarray(labels),
+                             jax.random.key(1))
+    assert np.isfinite(float(losses["loss"]))
+    # parameters actually moved (drop-path rng threaded, grads flow)
+    delta = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in
+                zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(new_state.params)))
+    assert delta > 1e-3, delta
+
+
+def test_mctformer_pyramid_and_classify():
+    import numpy as np
+    from pl_yolo_tpu.models.backbones.mctformer import MCTformer
+
+    m = MCTformer(num_classes=5, embed_dim=32, depth=2, num_heads=2,
+                  patch_size=16)
+    x = jnp.ones((2, 64, 64, 3))
+    v = m.init(jax.random.key(0), x, False)
+    outs = m.apply(v, x, False)
+    assert [tuple(o.shape) for o in outs] == [
+        (2, 8, 8, 16), (2, 4, 4, 32), (2, 2, 2, 32)]
+
+    # classify path: class logits from class tokens, CAMs fused with the
+    # patch head (reference MCTformerV2.forward :70-108)
+    vc = m.init(jax.random.key(0), x, method=MCTformer.classify)
+    cls_logits, patch_logits, cams = m.apply(vc, x,
+                                             method=MCTformer.classify)
+    assert cls_logits.shape == (2, 5)
+    assert patch_logits.shape == (2, 5)
+    assert cams.shape == (2, 4, 4, 5)
+    assert np.isfinite(np.asarray(cams)).all()
+    assert float(jnp.abs(cams).sum()) >= 0.0
+
+
+def test_cspdarknet_dropblock_wiring():
+    """DropBlock (VERDICT r2 #6): active in train mode, identity in eval."""
+    import numpy as np
+    from pl_yolo_tpu.models.backbones.cspdarknet import CSPDarkNet
+
+    m = CSPDarkNet(depths=(1, 1, 1, 1), channels=(8, 16, 32, 64, 128),
+                   drop_block_rate=0.3, drop_block_size=3)
+    x = jnp.ones((2, 64, 64, 3))
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               x, True)
+    # eval: deterministic, no dropout rng needed, repeated calls identical
+    e1 = m.apply(v, x, False)
+    e2 = m.apply(v, x, False)
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # train: stochastic masking changes the output vs eval and across rngs
+    t1, _ = m.apply(v, x, True, rngs={"dropout": jax.random.key(2)},
+                    mutable=["batch_stats"])
+    t2, _ = m.apply(v, x, True, rngs={"dropout": jax.random.key(3)},
+                    mutable=["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(t1, e1))
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(t1, t2))
