@@ -20,6 +20,7 @@ import jax
 from flax import linen as nn
 
 from ...layers.blocks import ConvBlock, DWConvBlock, CSPLayer, Focus, SPPBottleneck
+from ...layers.drops import DropBlock2d
 
 
 class CSPDarkNet(nn.Module):
@@ -29,6 +30,12 @@ class CSPDarkNet(nn.Module):
     depthwise: bool = False
     norm: str = "bn"
     act: str = "silu"
+    # DropBlock regularization after each stage's CSP layer (reference
+    # models/layers/drops.py:22-100 — importable-but-unwired there; wired
+    # here via `backbone: {drop_block: {rate, size}}`). Train-mode only;
+    # identity in eval.
+    drop_block_rate: float = 0.0
+    drop_block_size: int = 7
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
@@ -50,5 +57,9 @@ class CSPDarkNet(nn.Module):
                 name=f"stage{i + 1}_csp",
                 **kw,
             )(x, train)
+            if self.drop_block_rate > 0.0:
+                x = DropBlock2d(self.drop_block_rate, self.drop_block_size,
+                                name=f"stage{i + 1}_dropblock")(
+                    x, deterministic=not train)
             feats[f"stage{i + 1}"] = x
         return [feats[k] for k in self.outputs]
