@@ -59,6 +59,10 @@ class DiskImageCache:
     def __getitem__(self, index: int) -> np.ndarray:
         return np.asarray(self._mm[index])  # copy out of the map
 
+    def gather(self, idxs: np.ndarray) -> np.ndarray:
+        """Batch fetch: one C-level fancy-index copy for the whole batch."""
+        return self._mm[idxs]
+
     def matches(self, dataset) -> bool:
         return (self.meta["n"] == len(dataset)
                 and tuple(self.meta["img_size"]) == tuple(dataset.img_size)

@@ -66,6 +66,12 @@ def _collate(samples):
 
 
 def _load_batch(dataset, idxs, host_augment):
+    if host_augment is None:
+        fast = getattr(dataset, "load_batch", None)
+        if fast is not None:
+            batch = fast(idxs)
+            if batch is not None:  # disk cache attached: vectorized gather
+                return batch
     samples = []
     for idx in idxs:
         sample = dataset[idx]
