@@ -4,10 +4,13 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The driver metric (BASELINE.json) is images/sec/chip for YOLOX-s train +
 infer incl. NMS on COCO-shaped data. The reference publishes no numbers
-(BASELINE.md), so vs_baseline is computed against a documented A100 estimate:
-YOLOX-s 640x640 DDP training runs at roughly ~250 img/s on one A100 (fp16,
-batch 64; from the YOLOX paper's 300-epoch training-time scale). The
-north-star target is >= 2x that on a v5p chip.
+(BASELINE.md), so vs_baseline divides by a DERIVED A100 figure whose chain
+is documented in BASELINE.md ("A100 train-throughput denominator"): the
+ultralytics-published YOLOv5-s 300-epoch/2-day V100 time (~205 img/s),
+FLOPs-scaled to YOLOX-s (26.8 vs 17.1 GFLOPs, YOLOX paper Table 2) and
+A100:V100 ~2x => ~262, rounded to 250. `vs_baseline_conservative` divides
+by 400 (top of the plausible band) so the claim does not hinge on the
+favourable end. North-star target: >= 2x A100 on one TPU chip.
 
 Besides the pure device-step rate, the bench measures the END-TO-END rate:
 real 640x640 JPEGs (a persistent synthetic COCO-layout set) flowing through
@@ -27,7 +30,8 @@ import numpy as np
 
 import os
 
-A100_TRAIN_IPS_ESTIMATE = 250.0  # img/s/chip, documented assumption (see above)
+A100_TRAIN_IPS_ESTIMATE = 250.0      # img/s/chip, derivation in BASELINE.md
+A100_TRAIN_IPS_CONSERVATIVE = 400.0  # top of the plausible band (BASELINE.md)
 
 # Throughput sweet spot on v5e (16 GB HBM): 64 -> 350.7, 96 -> 391.5,
 # 128 -> 429.2, 192 -> 370.5 img/s (HBM pressure beyond 128).
@@ -203,6 +207,7 @@ def main():
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / A100_TRAIN_IPS_ESTIMATE, 3),
+        "vs_baseline_conservative": round(value / A100_TRAIN_IPS_CONSERVATIVE, 3),
         "infer_nms_images_per_sec_per_chip": round(infer_ips / n_chips, 2),
         "e2e_images_per_sec": (round(e2e_ips, 2) if e2e_ips else None),
         "e2e_frac_of_device": (round(e2e_ips / train_ips, 3) if e2e_ips
