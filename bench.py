@@ -154,7 +154,17 @@ def main():
     train_ips = BATCH * ITERS / (time.perf_counter() - t0)
 
     # ---- end-to-end: real JPEGs -> disk cache -> loader -> same train step
-    e2e_ips = None
+    #
+    # Context for reading the numbers (diagnosed r3): through the remote
+    # 'axon' tunnel the host->device link sustains only ~45-70 MB/s — a
+    # 157 MB uint8 B128 640^2 batch takes >2 s to ship, capping e2e at
+    # ~40-55 img/s NO MATTER how fast the host assembles batches (the
+    # loader itself sustains >1100 img/s, measured below). A standard TPU
+    # host feeds over local PCIe DMA at multi-GB/s, where the device step
+    # becomes the binding constraint. So the honest efficiency metric here
+    # is e2e vs the MEASURED transfer bound, reported alongside e2e vs the
+    # device step rate.
+    e2e_ips = loader_ips = link_mbps = None
     if E2E:
         from pl_yolo_tpu.data.datasets import COCODataset
         from pl_yolo_tpu.data.loader import TrainLoader, device_prefetch
@@ -168,7 +178,7 @@ def main():
         # so the host->device transfer is 1 byte/px (4x less than f32)
         batches = device_prefetch(
             loader, lambda b: (jnp.asarray(b["images"]),
-                               jnp.asarray(b["labels"])))
+                               jnp.asarray(b["labels"])), threaded=True)
         for i in range(2):  # compile (uint8 signature) + warm
             imgs, labs = next(batches)
             state, losses = step(state, imgs, labs, jax.random.key(200 + i))
@@ -179,7 +189,26 @@ def main():
             state, losses = step(state, imgs, labs, jax.random.key(300 + i))
         _ = float(losses["loss"])
         e2e_ips = BATCH * E2E_ITERS / (time.perf_counter() - t0)
+
+        # host-only batch assembly rate (disk cache -> collated numpy)
+        next(loader)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            next(loader)
+        loader_ips = 4 * BATCH / (time.perf_counter() - t0)
         loader.close()
+
+        # host->device link bandwidth, fenced by per-array scalar readback
+        # (block_until_ready acks EARLY through the tunnel — do not trust it)
+        probe = np.zeros((BATCH, SIZE, SIZE, 3), np.uint8)
+        fence = jax.jit(lambda a: jnp.sum(a[0, 0, 0].astype(jnp.float32)))
+        _ = float(fence(jnp.asarray(probe)))  # warm
+        t0 = time.perf_counter()
+        sent = [jnp.asarray(probe) for _ in range(3)]
+        for s_arr in sent:
+            _ = float(fence(s_arr))
+        dt = time.perf_counter() - t0
+        link_mbps = 3 * probe.nbytes / 2**20 / dt
 
     # ---- inference + NMS
     eval_vars = state.eval_variables
@@ -212,6 +241,14 @@ def main():
         "e2e_images_per_sec": (round(e2e_ips, 2) if e2e_ips else None),
         "e2e_frac_of_device": (round(e2e_ips / train_ips, 3) if e2e_ips
                                else None),
+        "host_loader_images_per_sec": (round(loader_ips, 1) if loader_ips
+                                       else None),
+        "h2d_link_MBps": (round(link_mbps, 1) if link_mbps else None),
+        # e2e vs what the measured host->device link can physically carry —
+        # ~1.0 means the input path saturates the link (see comment above)
+        "e2e_frac_of_link_bound": (
+            round(e2e_ips / (link_mbps * 2**20 / (SIZE * SIZE * 3)), 3)
+            if e2e_ips and link_mbps else None),
         "batch": BATCH,
         "backend": jax.devices()[0].platform,
     }))

@@ -208,7 +208,8 @@ class Trainer:
         from ..data.loader import device_prefetch
         batches = device_prefetch(
             loader, lambda b: shard_batch(self.mesh, {
-                "images": b["images"], "labels": b["labels"]}))
+                "images": b["images"], "labels": b["labels"]}),
+            threaded=True)
 
         with self.mesh:
             step = 0
