@@ -38,7 +38,7 @@ A100_TRAIN_IPS_CONSERVATIVE = 400.0  # top of the plausible band (BASELINE.md)
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
 SIZE = int(os.environ.get("BENCH_SIZE", 640))
 WARMUP = 3
-ITERS = 10
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
 E2E = os.environ.get("BENCH_E2E", "1") != "0"
 E2E_IMAGES = int(os.environ.get("BENCH_E2E_IMAGES", 512))
 E2E_ITERS = int(os.environ.get("BENCH_E2E_ITERS", 12))
