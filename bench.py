@@ -103,6 +103,9 @@ def _ensure_bench_jpegs(n: int, size: int) -> str:
 
 
 def main():
+    from pl_yolo_tpu.utils.tpu_flags import apply_tuned_flags
+    apply_tuned_flags()  # swept defaults (+1.3%); user LIBTPU_INIT_ARGS wins
+
     import jax
 
     # persistent compile cache (works through the axon remote-compile path:

@@ -15,6 +15,9 @@ from pl_yolo_tpu.utils.config import (
 
 
 def main():
+    from pl_yolo_tpu.utils.tpu_flags import apply_tuned_flags
+    apply_tuned_flags()  # swept TPU defaults; user LIBTPU_INIT_ARGS wins
+
     args = train_argument_parser().parse_args()
     model_cfg = validate_model_config(load_config(args.model_config),
                                       args.model_config)
