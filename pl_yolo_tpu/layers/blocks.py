@@ -200,8 +200,16 @@ class Focus(nn.Module):
     """Space-to-depth stem (reference Focus, network_blocks.py:43-65).
 
     With `fused=True` (default) and the standard (ksize=3, stride=1) config,
-    runs as the exact 6x6-s2 reparameterization (see _FusedFocusBlock) —
-    bit-identical params, same math, no s2d relayout."""
+    INFERENCE runs as the exact 6x6-s2 reparameterization (see
+    _FusedFocusBlock) — bit-identical params, same math, no s2d relayout —
+    which is the faster forward. TRAINING takes the s2d + 3x3-s1 path: the
+    6x6 stem's grad-filter conv (rhs-dilated 6x6 window over the 640^2
+    3-channel input) is the single worst conv of the whole train step
+    (5.9 ms standalone at 15 TFLOP/s, x3.2 its roofline bound —
+    tools/perf_conv.py), while the 12-channel 3x3-s1 formulation's wgrad is
+    regular; fwd+wgrad measures 9.35 vs 7.35 ms (tools/perf_stem.py). The
+    two paths share one param tree (Focus/conv/conv/kernel, 3x3x4c), so
+    checkpoints and BN stats are interchangeable."""
 
     out_channels: int
     ksize: int = 1
@@ -212,7 +220,7 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        if self.fused and self.ksize == 3 and self.stride == 1:
+        if self.fused and self.ksize == 3 and self.stride == 1 and not train:
             return _FusedFocusBlock(
                 self.out_channels, norm=self.norm, act=self.act,
                 name="conv")(x, train)

@@ -99,3 +99,13 @@ def test_focus_fused_equals_s2d_path():
     assert y_ref.shape == y_fus.shape == (2, 8, 10, 8)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fus),
                                atol=1e-5)
+
+    # r3: training routes through the s2d+3x3 formulation (the 6x6 wgrad
+    # is the worst conv of the step — see Focus docstring); with norm off
+    # the two paths must agree on the same params
+    nref = Focus(8, ksize=3, stride=1, fused=True, norm="none")
+    v = nref.init(jax.random.key(1), x)
+    y_eval = nref.apply(v, x, False)   # fused 6x6-s2 path
+    y_train = nref.apply(v, x, True)   # s2d + 3x3-s1 path
+    np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_train),
+                               atol=1e-5)
