@@ -223,20 +223,24 @@ def main():
     rows.sort(key=lambda r: -(0 if r[2] != r[2] else r[2] * r[1]))
     tot_meas = tot_bound = 0.0
     role_tot = {}
-    for sig, cnt, t, att, flops, err in rows[:args.top]:
+    for i, (sig, cnt, t, att, flops, err) in enumerate(rows):
         role = role_of(sig)
         if t == t:
-            tot_meas += t * cnt
+            tot_meas += t * cnt        # totals over ALL rows, print top-N
             tot_bound += att * cnt
             role_tot[role] = role_tot.get(role, 0.0) + t * cnt
-            print(f"{role:>6} {cnt:>5} {t * 1e3:>8.2f} {t * cnt * 1e3:>8.2f} "
-                  f"{att * cnt * 1e3:>8.2f} {t / att:>7.2f} "
-                  f"{flops / t / 1e12:>8.1f}  "
-                  f"lhs{sig[0]} rhs{sig[2]} ws{sig[4]} ld{sig[6]} rd{sig[7]}")
-        else:
+            if i < args.top:
+                print(f"{role:>6} {cnt:>5} {t * 1e3:>8.2f} "
+                      f"{t * cnt * 1e3:>8.2f} "
+                      f"{att * cnt * 1e3:>8.2f} {t / att:>7.2f} "
+                      f"{flops / t / 1e12:>8.1f}  "
+                      f"lhs{sig[0]} rhs{sig[2]} ws{sig[4]} ld{sig[6]} "
+                      f"rd{sig[7]}")
+        elif i < args.top:
             print(f"{role:>6} {cnt:>5} {'—':>8} {'—':>8} "
                   f"{att * cnt * 1e3:>8.2f} {'—':>7} {'—':>8}  {err}")
-    print(f"\nstandalone sum: measured {tot_meas * 1e3:.1f} ms vs bound "
+    print(f"\nstandalone sum (all {len(rows)} signatures): measured "
+          f"{tot_meas * 1e3:.1f} ms vs bound "
           f"{tot_bound * 1e3:.1f} ms  (x{tot_meas / max(tot_bound, 1e-9):.2f})")
     for role, t in sorted(role_tot.items(), key=lambda kv: -kv[1]):
         print(f"  {role:6s} {t * 1e3:7.1f} ms")
