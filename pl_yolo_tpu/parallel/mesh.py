@@ -17,6 +17,19 @@ Conv kernels [kh,kw,cin,cout] (and their optimizer moments / EMA copies,
 which share the leaf structure) are sharded on cout over 'model'
 (`shard_tp`); GSPMD propagates the channel sharding through the network and
 inserts the collectives. The train step function itself never changes.
+
+Spatial partitioning (SP) — the TPU-idiomatic way to scale a single large
+image across chips — is likewise a yaml key:
+
+    parallel:
+        spatial: 2      # 'spatial'-axis size; devices = data x model x spatial
+
+Activations [B,H,W,C] shard on H over 'spatial' (`sp_constraint`, applied to
+the augmented images inside the train step); GSPMD inserts the halo
+exchanges every conv window needs at the shard boundaries and keeps the
+whole conv pyramid spatially partitioned — no manual ppermute/collective
+code, exactly the "annotate shardings, let XLA insert collectives" recipe.
+BatchNorm's (B,H,W) reductions stay global, so numerics match pure DP.
 """
 
 from __future__ import annotations
@@ -26,17 +39,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int | None = None, model: int = 1,
+def make_mesh(data: int | None = None, model: int = 1, spatial: int = 1,
               devices: list | None = None) -> Mesh:
-    """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    """Build a ('data', 'model', 'spatial') mesh. Defaults to all devices on
+    'data'; trivial axes (size 1) are harmless — every P spec that omits
+    them replicates over them."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        data = n // (model * spatial)
+    if data * model * spatial != n:
+        raise ValueError(f"mesh {data}x{model}x{spatial} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model, spatial)
+    return Mesh(dev_array, axis_names=("data", "model", "spatial"))
+
+
+def _spatial_size(mesh: Mesh) -> int:
+    return mesh.shape["spatial"] if "spatial" in mesh.axis_names else 1
+
+
+def sp_constraint(mesh: Mesh):
+    """with_sharding_constraint hook for NHWC activations under spatial
+    partitioning: H shards over 'spatial' (batch stays on 'data'). Returns
+    None when the mesh has no non-trivial spatial axis so callers can skip
+    the constraint entirely (the common pure-DP/TP case)."""
+    if _spatial_size(mesh) == 1:
+        return None
+    sharding = NamedSharding(mesh, P("data", "spatial"))
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, sharding)
+    return constrain
 
 
 def tp_spec(x, model_size: int) -> P:
@@ -72,15 +105,26 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays with leading batch dim) onto the
     mesh, sharded along 'data'.
 
+    Under spatial partitioning, 4D [B,H,W,C] image leaves additionally shard
+    H over 'spatial' so the h2d DMA already lands each row block on its
+    owning device (labels and other <4D leaves stay batch-sharded only).
+
     Multi-host: each process holds its LOCAL shard of the global batch, so
     the global array is assembled with make_array_from_process_local_data
     (global batch = local batch x process_count); device_put would wrongly
     treat the local shard as the whole global array."""
     sharding = batch_sharding(mesh)
+    sp = _spatial_size(mesh)
+    img_sharding = (NamedSharding(mesh, P("data", "spatial")) if sp > 1
+                    else sharding)
+
+    def pick(x):
+        return img_sharding if getattr(x, "ndim", 0) == 4 else sharding
+
     if jax.process_count() > 1:
         def put(x):
             x = np.asarray(x)
             gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-            return jax.make_array_from_process_local_data(sharding, x, gshape)
+            return jax.make_array_from_process_local_data(pick(x), x, gshape)
         return jax.tree.map(put, batch)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: jax.device_put(x, pick(x)), batch)

@@ -70,12 +70,18 @@ def make_train_step(
     augment_fn: Callable | None = None,
     donate: bool = True,
     sanitize: bool = False,
+    constrain_images: Callable | None = None,
 ):
     """Build the jitted train step.
 
     apply_fn(variables, images, train, mutable) -> (head_outputs, mutated)
     loss_fn(head_outputs, labels) -> dict with 'loss' + metrics
     augment_fn(rng, images, labels[, enable]) -> (images, labels)
+    constrain_images: optional with_sharding_constraint hook applied to the
+    augmented images (parallel/mesh.py::sp_constraint) — pins the H axis to
+    the 'spatial' mesh axis so GSPMD keeps the whole conv pyramid spatially
+    partitioned (augmentation's global gathers would otherwise make the
+    propagated sharding collapse to replicated).
 
     The returned step takes two optional traced flags for the epoch-gated
     YOLOX no-aug schedule — step(state, images, labels, rng,
@@ -104,6 +110,8 @@ def make_train_step(
                                             enable=aug_enable)
             else:
                 images, labels = augment_fn(k_aug, images, labels)
+        if constrain_images is not None:
+            images = constrain_images(images)
 
         def compute_loss(params):
             outputs, mutated = apply_fn(

@@ -75,9 +75,11 @@ class Trainer:
         # model
         self.model: DetectionModel = build_model(model_cfg, self.num_classes)
 
-        # mesh: ('data', 'model'). The 'model' axis size comes from the model
-        # yaml (`parallel: {model: N}`, default 1 = pure DP); conv kernels
-        # are cout-sharded over 'model' when state is built (shard_tp).
+        # mesh: ('data', 'model', 'spatial'). Axis sizes come from the model
+        # yaml (`parallel: {model: N, spatial: M}`, default pure DP); conv
+        # kernels are cout-sharded over 'model' when state is built
+        # (shard_tp), activations H-sharded over 'spatial' via the in-step
+        # constraint (sp_constraint).
         # A batch that does not divide the data-axis size is a hard config
         # error — silently dropping to one device would waste the slice
         # (VERDICT r1 weak #3). batch_size is PER HOST, so the divisibility
@@ -85,12 +87,13 @@ class Trainer:
         # (global batch = bs x process_count).
         par = model_cfg.get("parallel", {}) or {}
         self.model_par = int(par.get("model", 1))
+        self.spatial_par = int(par.get("spatial", 1))
         n_dev = jax.local_device_count()
-        if n_dev % self.model_par != 0:
+        if n_dev % (self.model_par * self.spatial_par) != 0:
             raise ValueError(
-                f"parallel.model={self.model_par} must divide the device "
-                f"count {n_dev}")
-        data_par = n_dev // self.model_par
+                f"parallel.model={self.model_par} x parallel.spatial="
+                f"{self.spatial_par} must divide the device count {n_dev}")
+        data_par = n_dev // (self.model_par * self.spatial_par)
         bs = self.datamodule.train_batch_size
         if bs % data_par != 0:
             raise ValueError(
@@ -98,7 +101,15 @@ class Trainer:
                 f"parallel width {data_par}; raise the batch or shrink the "
                 f"slice (e.g. batch "
                 f"{bs * data_par if bs < data_par else bs - bs % data_par})")
-        self.mesh = make_mesh(model=self.model_par)
+        if self.spatial_par > 1:
+            # H must stay divisible through the /32 pyramid so every spatial
+            # shard holds whole rows at the deepest stride
+            h = int(self.datamodule.train_size[0])
+            if h % (32 * self.spatial_par) != 0:
+                raise ValueError(
+                    f"parallel.spatial={self.spatial_par} needs train H={h} "
+                    f"divisible by 32*{self.spatial_par}")
+        self.mesh = make_mesh(model=self.model_par, spatial=self.spatial_par)
         self.ckpt = CheckpointManager(self.out_dir / "checkpoints",
                                       max_to_keep=save_top_k, monitor="mAP")
 
@@ -176,10 +187,12 @@ class Trainer:
                     from ..data.augment import multiscale_resize
                     imgs, labs = base_aug(rng, images, labels, enable=enable)
                     return multiscale_resize(imgs, labs, out_hw)
+            from ..parallel.mesh import sp_constraint
             return make_train_step(
                 self.model.module.apply, self.model.loss.train_loss,
                 use_ema=self.use_ema, augment_fn=aug,
-                sanitize=self.sanitize)
+                sanitize=self.sanitize,
+                constrain_images=sp_constraint(self.mesh))
 
         base_hw = tuple(self.datamodule.train_size)
         if ms_sizes:
