@@ -618,14 +618,33 @@ def _augment_one(rng, img, labels, partners, partner_labels, mix_img,
     return out_img, out_labels
 
 
+def _chw_to_s2d(x: jax.Array) -> jax.Array:
+    """[B,3,H,W] channel-major -> the Focus stem's space_to_depth layout
+    [B,H/2,W/2,12], channel order q = px*2c + py*c + ch matching
+    layers/blocks.py::space_to_depth (column-parity axis before row-parity).
+    One relayout replaces the CHW->NHWC interleave + in-model s2d pair."""
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // 2, 2, w // 2, 2)     # (b, ch, i, py, j, px)
+    x = x.transpose(0, 2, 4, 5, 3, 1)             # (b, i, j, px, py, ch)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
-                   cfg: AugmentConfig, enable=True):
+                   cfg: AugmentConfig, enable=True, out_s2d: bool = False):
     """Batched augmentation: images [B,H,W,3] (uint8 or float 0..255),
     labels [B,M,5] cxcywh-pixels. Returns (float32 images, [B,max_labels,5]).
 
     `enable` (bool, traced OK) gates mosaic+mixup at runtime so the trainer's
     no-aug final epochs reuse the SAME compiled step (HSV/flip stay on,
-    matching the YOLOX no-aug recipe)."""
+    matching the YOLOX no-aug recipe).
+
+    `out_s2d` (static): emit the Focus stem's space_to_depth layout
+    [B,H/2,W/2,12] in the pixel compute dtype instead of NHWC float32 —
+    consumed by the model under layers/blocks.py::stem_input_s2d(). On the
+    Pallas chw path this goes pool->s2d directly (no NHWC interleave, no
+    bf16->f32->bf16 round-trip at the augment/model boundary, PERF.md
+    "remaining nibbles"); values are bit-identical to the NHWC path
+    (bf16->f32 widening is exact)."""
     b = images.shape[0]
     h, w = images.shape[1:3]
     pixel_dtype = jnp.bfloat16 if cfg.pixel_dtype == "bfloat16" else jnp.float32
@@ -714,6 +733,11 @@ def device_augment(rng: jax.Array, images: jax.Array, labels: jax.Array,
     extra = (tuple(mosaic) if mosaic is not None else ()) + (
         tuple(mixup) if mixup is not None else ())
     out_imgs, out_labels = jax.vmap(fn)(*args, *extra)
+    if out_s2d:
+        if chw:
+            return _chw_to_s2d(out_imgs), out_labels
+        from ..layers.blocks import space_to_depth
+        return space_to_depth(out_imgs), out_labels
     if chw:
         from ..ops.pallas.mosaic_pallas import from_chw
         out_imgs = from_chw(out_imgs)

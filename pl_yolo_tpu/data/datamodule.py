@@ -61,10 +61,11 @@ class DataModule:
         return eval_batches(self.dataset_test or self.dataset_val,
                             self.val_batch_size, shard_id, num_shards)
 
-    def make_augment_fn(self):
+    def make_augment_fn(self, out_s2d: bool = False):
         cfg = self.augment_cfg
         def augment(rng, images, labels, enable=True):
-            return device_augment(rng, images, labels, cfg, enable=enable)
+            return device_augment(rng, images, labels, cfg, enable=enable,
+                                  out_s2d=out_s2d)
         return augment
 
 

@@ -45,6 +45,36 @@ def get_compute_dtype():
     return _DEFAULT_COMPUTE_DTYPE
 
 
+# Ambient "the stem input is already space-to-depth'ed" flag: the train
+# pipeline can emit the Focus stem's [B, H/2, W/2, 4c] layout directly from
+# the channel-major augment pool (data/augment.py out_s2d=True), skipping
+# the CHW->NHWC interleave + the in-model s2d relayout + the f32 round-trip
+# (~6 ms @B128/640, PERF.md "remaining nibbles"). Consume-once per
+# activation of the context so only the FIRST Focus (the stem) skips its
+# own space_to_depth; same ambient-static idiom as set_compute_dtype (both
+# are resolved at trace time).
+_PENDING_S2D_INPUT = [False]
+
+
+class stem_input_s2d:
+    """Context manager: the next Focus call inside receives pre-s2d input."""
+
+    def __enter__(self):
+        self._prev = _PENDING_S2D_INPUT[0]
+        _PENDING_S2D_INPUT[0] = True
+        return self
+
+    def __exit__(self, *exc):
+        _PENDING_S2D_INPUT[0] = self._prev
+        return False
+
+
+def _take_stem_s2d() -> bool:
+    v = _PENDING_S2D_INPUT[0]
+    _PENDING_S2D_INPUT[0] = False
+    return v
+
+
 def get_activation(name: str | None = "silu") -> Callable[[jax.Array], jax.Array]:
     """Activation factory (reference activation.py:5-27)."""
     if name is None or name == "none" or name is False:
@@ -220,6 +250,15 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if _take_stem_s2d():
+            # x already carries the space_to_depth layout [B,H/2,W/2,4c]
+            # (emitted by device_augment(out_s2d=True) under the
+            # stem_input_s2d() ambient context) — same math, one less
+            # relayout. Param tree identical to the other two paths.
+            return ConvBlock(
+                self.out_channels, ksize=self.ksize, stride=self.stride,
+                norm=self.norm, act=self.act, name="conv",
+            )(x, train)
         if self.fused and self.ksize == 3 and self.stride == 1 and not train:
             return _FusedFocusBlock(
                 self.out_channels, norm=self.norm, act=self.act,

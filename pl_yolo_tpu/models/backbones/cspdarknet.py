@@ -24,6 +24,10 @@ from ...layers.drops import DropBlock2d
 
 
 class CSPDarkNet(nn.Module):
+    # Focus stem => the trainer may feed pre-space-to-depth'ed input
+    # (layers/blocks.py::stem_input_s2d + device_augment(out_s2d=True))
+    STEM_S2D = True
+
     depths: Sequence[int] = (3, 9, 9, 3)
     channels: Sequence[int] = (64, 128, 256, 512, 1024)
     outputs: Sequence[str] = ("stage2", "stage3", "stage4")

@@ -99,6 +99,9 @@ class _StagedBackbone(nn.Module):
     """Focus stem + 4 (stride-2 conv + block) stages, SPP in stage4 —
     the shared skeleton of CSPMobileNext / ECMNet."""
 
+    # Focus stem => trainer may feed pre-s2d input (see cspdarknet.py)
+    STEM_S2D = True
+
     depths: Sequence[int] = (3, 9, 9, 3)
     channels: Sequence[int] = (64, 128, 256, 512, 1024)
     outputs: Sequence[str] = ("stage2", "stage3", "stage4")

@@ -179,9 +179,31 @@ class Trainer:
         ms_interval = int(t_cfg.get("multiscale_interval", 10))
         base_aug = self._make_augment()
 
+        # Direct space-to-depth feed for Focus-stem backbones: the base
+        # bucket's augment emits [B,H/2,W/2,12] in the pixel dtype and the
+        # stem skips its own s2d (layers/blocks.py::stem_input_s2d) —
+        # identical math (bf16->f32 widening is exact), one less relayout
+        # + no f32 round-trip at the boundary. Opt out: `stem_s2d: false`.
+        # Multi-scale buckets resize NHWC images, so they keep the NHWC path.
+        stem_s2d = (getattr(type(self.model.module.backbone), "STEM_S2D",
+                            False)
+                    and bool(self.model_cfg.get("stem_s2d", True)))
+        raw_apply = self.model.module.apply
+        if stem_s2d:
+            from ..layers.blocks import stem_input_s2d
+            s2d_aug = self.datamodule.make_augment_fn(out_s2d=True)
+
+            def s2d_apply(variables, images, train, **kw):
+                with stem_input_s2d():
+                    return raw_apply(variables, images, train, **kw)
+
         def make_step(out_hw=None):
+            apply_fn = raw_apply
             if out_hw is None:
-                aug = base_aug
+                if stem_s2d:
+                    aug, apply_fn = s2d_aug, s2d_apply
+                else:
+                    aug = base_aug
             else:
                 def aug(rng, images, labels, enable=True):
                     from ..data.augment import multiscale_resize
@@ -189,7 +211,7 @@ class Trainer:
                     return multiscale_resize(imgs, labs, out_hw)
             from ..parallel.mesh import sp_constraint
             return make_train_step(
-                self.model.module.apply, self.model.loss.train_loss,
+                apply_fn, self.model.loss.train_loss,
                 use_ema=self.use_ema, augment_fn=aug,
                 sanitize=self.sanitize,
                 constrain_images=sp_constraint(self.mesh))
