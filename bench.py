@@ -132,9 +132,21 @@ def main():
     state = TrainState.create(variables, tx)
 
     aug_cfg = AugmentConfig(max_labels=100)
+    # Train through the production path: Focus-stem backbones are fed the
+    # augment's direct space-to-depth layout (trainer.py wires the same) —
+    # identical math, one less relayout at the augment/model boundary.
+    from pl_yolo_tpu.layers.blocks import stem_input_s2d
+
+    raw_apply = model.module.apply
+
+    def s2d_apply(variables, images, train, **kw):
+        with stem_input_s2d():
+            return raw_apply(variables, images, train, **kw)
+
     step = make_train_step(
-        model.module.apply, model.loss.train_loss,
-        augment_fn=lambda r, i, l: device_augment(r, i, l, aug_cfg))
+        s2d_apply, model.loss.train_loss,
+        augment_fn=lambda r, i, l: device_augment(r, i, l, aug_cfg,
+                                                  out_s2d=True))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 255, (BATCH, SIZE, SIZE, 3)),
