@@ -8,6 +8,15 @@ Rather than copy that, this is the standard ViTDet adaptation: plain ViT
 encoder over 16x16 patches with interpolatable position embeddings
 (:136-157), then a simple feature pyramid (deconv x2 / identity / stride-2
 conv) producing stride 8/16/32 maps. NHWC, fixed shapes.
+
+TPU-native tower: the L transformer blocks are ONE stacked param tree
+(leading axis L, `blocks_*` leaves) applied by `lax.scan` — a single
+compiled block body instead of L inlined copies. When the ambient mesh
+(parallel/mesh.py::use_pipeline_mesh, set by the Trainer for
+`parallel: {pipeline: N}`) carries a non-trivial 'pipe' axis, the same
+stacked tree is split into N contiguous stages and the tower runs as a
+GPipe pipeline (parallel/pipeline.py) — identical math, identical params,
+so checkpoints and eval (which applies sequentially) are unaffected.
 """
 
 from __future__ import annotations
@@ -19,27 +28,45 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-class ViTBlock(nn.Module):
-    dim: int
-    num_heads: int
-    mlp_ratio: float = 4.0
-    qkv_bias: bool = True
+def stacked_init(base_init):
+    """Stack `L` independent draws of `base_init` along a new leading axis,
+    so per-layer fan-in/out statistics match an unstacked tower."""
+    def init(key, shape, dtype=jnp.float32):
+        keys = jax.random.split(key, shape[0])
+        return jax.vmap(lambda k: base_init(k, shape[1:], dtype))(keys)
+    return init
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        y = nn.LayerNorm(name="norm1")(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            use_bias=self.qkv_bias, name="attn")(y, y)
-        x = x + y
-        y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.dim, name="fc2")(y)
-        return x + y
+
+def _ln(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def vit_block(p, x, num_heads: int):
+    """Pre-LN transformer encoder block as a pure function of one layer's
+    param slice (ViTBlock semantics: LN->MHA->res, LN->MLP(gelu)->res)."""
+    b, t, d = x.shape
+    hd = d // num_heads
+    y = _ln(x, p["ln1_scale"], p["ln1_bias"])
+    q = (y @ p["wq"] + p["bq"]).reshape(b, t, num_heads, hd)
+    k = (y @ p["wk"] + p["bk"]).reshape(b, t, num_heads, hd)
+    v = (y @ p["wv"] + p["bv"]).reshape(b, t, num_heads, hd)
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+    att = jax.nn.softmax(att, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, d)
+    x = x + o @ p["wo"] + p["bo"]
+    y = _ln(x, p["ln2_scale"], p["ln2_bias"])
+    y = jax.nn.gelu(y @ p["w1"] + p["b1"])
+    return x + y @ p["w2"] + p["b2"]
 
 
 class VisionTransformer(nn.Module):
+    """PIPELINE_TOWER: the block tower accepts GPipe pipelining over the
+    ambient mesh's 'pipe' axis (see module docstring)."""
+
+    PIPELINE_TOWER = True
+
     embed_dim: int = 768
     depth: int = 12
     num_heads: int = 12
@@ -47,6 +74,51 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     ref_grid: int = 14           # pos-embed native grid (224/16)
     out_strides: Sequence[int] = (8, 16, 32)
+
+    def tower_params(self) -> dict:
+        d, L = self.embed_dim, self.depth
+        mlp = int(d * self.mlp_ratio)
+        lecun = stacked_init(nn.initializers.lecun_normal())
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+        spec = {
+            "ln1_scale": ((d,), ones), "ln1_bias": ((d,), zeros),
+            "wq": ((d, d), lecun), "bq": ((d,), zeros),
+            "wk": ((d, d), lecun), "bk": ((d,), zeros),
+            "wv": ((d, d), lecun), "bv": ((d,), zeros),
+            "wo": ((d, d), lecun), "bo": ((d,), zeros),
+            "ln2_scale": ((d,), ones), "ln2_bias": ((d,), zeros),
+            "w1": ((d, mlp), lecun), "b1": ((mlp,), zeros),
+            "w2": ((mlp, d), lecun), "b2": ((d,), zeros),
+        }
+        return {k: self.param(f"blocks_{k}", init, (L,) + shape)
+                for k, (shape, init) in spec.items()}
+
+    def _apply_tower(self, params: dict, x: jax.Array) -> jax.Array:
+        from ...parallel.mesh import pipeline_mesh
+
+        def body(carry, p):
+            return vit_block(p, carry, self.num_heads), None
+
+        mesh = pipeline_mesh()
+        S = mesh.shape.get("pipe", 1) if mesh is not None else 1
+        if S <= 1 or self.is_initializing():
+            x, _ = jax.lax.scan(body, x, params)
+            return x
+        from ...parallel.pipeline import pipeline_apply
+
+        if self.depth % S:
+            raise ValueError(
+                f"parallel.pipeline={S} must divide ViT depth {self.depth}")
+        stages = jax.tree.map(
+            lambda a: a.reshape((S, self.depth // S) + a.shape[1:]), params)
+
+        def stage_fn(sp, xm):
+            y, _ = jax.lax.scan(body, xm, sp)
+            return y
+
+        batch_axis = ("data" if mesh.shape.get("data", 1) > 1 else None)
+        return pipeline_apply(stage_fn, stages, x, mesh=mesh, axis="pipe",
+                              batch_axis=batch_axis)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
@@ -62,9 +134,7 @@ class VisionTransformer(nn.Module):
         pos = jax.image.resize(pos, (1, h, w, self.embed_dim), "bicubic")
         x = x + pos.reshape(1, h * w, self.embed_dim)
 
-        for i in range(self.depth):
-            x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                         name=f"block{i}")(x, train)
+        x = self._apply_tower(self.tower_params(), x)
         x = nn.LayerNorm(name="norm")(x)
         feat = x.reshape(b, h, w, self.embed_dim)   # stride-16 map
 

@@ -40,18 +40,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int | None = None, model: int = 1, spatial: int = 1,
-              devices: list | None = None) -> Mesh:
-    """Build a ('data', 'model', 'spatial') mesh. Defaults to all devices on
-    'data'; trivial axes (size 1) are harmless — every P spec that omits
-    them replicates over them."""
+              pipe: int = 1, devices: list | None = None) -> Mesh:
+    """Build a ('data', 'model', 'spatial', 'pipe') mesh. Defaults to all
+    devices on 'data'; trivial axes (size 1) are harmless — every P spec
+    that omits them replicates over them."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // (model * spatial)
-    if data * model * spatial != n:
-        raise ValueError(f"mesh {data}x{model}x{spatial} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model, spatial)
-    return Mesh(dev_array, axis_names=("data", "model", "spatial"))
+        data = n // (model * spatial * pipe)
+    if data * model * spatial * pipe != n:
+        raise ValueError(
+            f"mesh {data}x{model}x{spatial}x{pipe} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model, spatial, pipe)
+    return Mesh(dev_array, axis_names=("data", "model", "spatial", "pipe"))
+
+
+# Ambient mesh for pipeline-parallel towers (parallel/pipeline.py): modules
+# deep inside the model (e.g. models/backbones/vit.py) cannot receive the
+# Trainer's mesh as an argument without threading it through every layer, so
+# the Trainer activates it around the model apply at TRACE time — the same
+# trace-time-ambient idiom as layers/blocks.py::set_compute_dtype. Outside
+# the context (init, eval, export) pipeline_mesh() is None and pipelined
+# towers fall back to the sequential lax.scan — identical math and params.
+_PIPELINE_MESH = [None]
+
+
+class use_pipeline_mesh:
+    """Context manager: towers traced inside see `mesh` via pipeline_mesh().
+    A mesh without a non-trivial 'pipe' axis is ignored (sequential path)."""
+
+    def __init__(self, mesh: Mesh | None):
+        if mesh is not None and mesh.shape.get("pipe", 1) <= 1:
+            mesh = None
+        self._mesh = mesh
+
+    def __enter__(self):
+        self._prev = _PIPELINE_MESH[0]
+        _PIPELINE_MESH[0] = self._mesh
+        return self
+
+    def __exit__(self, *exc):
+        _PIPELINE_MESH[0] = self._prev
+        return False
+
+
+def pipeline_mesh() -> Mesh | None:
+    return _PIPELINE_MESH[0]
 
 
 def _spatial_size(mesh: Mesh) -> int:

@@ -88,12 +88,33 @@ class Trainer:
         par = model_cfg.get("parallel", {}) or {}
         self.model_par = int(par.get("model", 1))
         self.spatial_par = int(par.get("spatial", 1))
+        self.pipe_par = int(par.get("pipeline", 1))
         n_dev = jax.local_device_count()
-        if n_dev % (self.model_par * self.spatial_par) != 0:
+        non_data = self.model_par * self.spatial_par * self.pipe_par
+        if n_dev % non_data != 0:
             raise ValueError(
                 f"parallel.model={self.model_par} x parallel.spatial="
-                f"{self.spatial_par} must divide the device count {n_dev}")
-        data_par = n_dev // (self.model_par * self.spatial_par)
+                f"{self.spatial_par} x parallel.pipeline={self.pipe_par} "
+                f"must divide the device count {n_dev}")
+        data_par = n_dev // non_data
+        if self.pipe_par > 1:
+            # GPipe over the backbone tower (parallel/pipeline.py): only
+            # uniform-tower backbones advertise support; the microbatch
+            # split needs batch % pipe == 0 and each microbatch's rows must
+            # still divide over 'data'
+            if not getattr(type(self.model.module.backbone),
+                           "PIPELINE_TOWER", False):
+                raise ValueError(
+                    f"parallel.pipeline={self.pipe_par} but backbone "
+                    f"{type(self.model.module.backbone).__name__} has no "
+                    "uniform block tower (PIPELINE_TOWER) — use a ViT-family "
+                    "backbone or drop the key")
+            mb = self.datamodule.train_batch_size
+            if mb % self.pipe_par or (mb // self.pipe_par) % max(data_par, 1):
+                raise ValueError(
+                    f"batch_size={mb} must split into "
+                    f"parallel.pipeline={self.pipe_par} microbatches whose "
+                    f"rows divide the data-parallel width {data_par}")
         bs = self.datamodule.train_batch_size
         if bs % data_par != 0:
             raise ValueError(
@@ -109,7 +130,8 @@ class Trainer:
                 raise ValueError(
                     f"parallel.spatial={self.spatial_par} needs train H={h} "
                     f"divisible by 32*{self.spatial_par}")
-        self.mesh = make_mesh(model=self.model_par, spatial=self.spatial_par)
+        self.mesh = make_mesh(model=self.model_par, spatial=self.spatial_par,
+                              pipe=self.pipe_par)
         self.ckpt = CheckpointManager(self.out_dir / "checkpoints",
                                       max_to_keep=save_top_k, monitor="mAP")
 
@@ -189,6 +211,18 @@ class Trainer:
                             False)
                     and bool(self.model_cfg.get("stem_s2d", True)))
         raw_apply = self.model.module.apply
+        if self.pipe_par > 1:
+            # GPipe tower (parallel.pipeline config key): activate the
+            # ambient mesh around the model apply so the backbone's tower
+            # routes through pipeline_apply at trace time (mesh.py
+            # ::use_pipeline_mesh). Eval/infer stay sequential — identical
+            # params and math, only the train-step schedule changes.
+            from ..parallel.mesh import use_pipeline_mesh
+            seq_apply = raw_apply
+
+            def raw_apply(variables, images, train, **kw):  # noqa: F811
+                with use_pipeline_mesh(self.mesh):
+                    return seq_apply(variables, images, train, **kw)
         if stem_s2d:
             from ..layers.blocks import stem_input_s2d
             s2d_aug = self.datamodule.make_augment_fn(out_s2d=True)

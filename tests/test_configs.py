@@ -16,7 +16,8 @@ ALL_YAMLS = sorted(p.name for p in CFG_DIR.glob("*.yaml"))
 # keep CPU cost bounded on the 1-core host: the heavyweights run at reduced
 # input size; everything still builds with its REAL config values
 SIZE_OVERRIDES = {"swin_base.yaml": 32, "swin_large.yaml": 32,
-                  "swin_small.yaml": 32, "vit_tiny.yaml": 64}
+                  "swin_small.yaml": 32, "vit_tiny.yaml": 64,
+                  "vit_tiny_pp2.yaml": 64}
 
 
 def test_config_matrix_complete():
