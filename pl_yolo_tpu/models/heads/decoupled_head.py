@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...layers.blocks import ConvBlock, DWConvBlock
+from ...layers.blocks import Conv1x1, ConvBlock, DWConvBlock
 
 
 def _prior_bias(prior_prob: float = 1e-2) -> float:
@@ -43,12 +43,15 @@ class DecoupledHead(nn.Module):
             x = ConvBlock(width, ksize=1, name=f"stem{k}", **kw)(x, train)
             cls_feat = conv(width, ksize=3, name=f"cls_conv{k}_0", **kw)(x, train)
             cls_feat = conv(width, ksize=3, name=f"cls_conv{k}_1", **kw)(cls_feat, train)
-            cls_out = nn.Conv(self.n_anchors * self.num_classes, (1, 1),
+            # Conv1x1 = dot_general lowering, same param tree as nn.Conv
+            # (the 1x1 pred wgrads were the worst conv rows, tools/perf_1x1.py)
+            cls_out = Conv1x1(self.n_anchors * self.num_classes, use_bias=True,
                               bias_init=bias_init, name=f"cls_pred{k}")(cls_feat)
             reg_feat = conv(width, ksize=3, name=f"reg_conv{k}_0", **kw)(x, train)
             reg_feat = conv(width, ksize=3, name=f"reg_conv{k}_1", **kw)(reg_feat, train)
-            reg_out = nn.Conv(self.n_anchors * 4, (1, 1), name=f"reg_pred{k}")(reg_feat)
-            obj_out = nn.Conv(self.n_anchors * 1, (1, 1),
+            reg_out = Conv1x1(self.n_anchors * 4, use_bias=True,
+                              name=f"reg_pred{k}")(reg_feat)
+            obj_out = Conv1x1(self.n_anchors * 1, use_bias=True,
                               bias_init=bias_init, name=f"obj_pred{k}")(reg_feat)
             outputs.append(jnp.concatenate([reg_out, obj_out, cls_out], axis=-1))
         return outputs

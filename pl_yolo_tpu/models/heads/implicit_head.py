@@ -15,6 +15,8 @@ from typing import Sequence
 import jax
 from flax import linen as nn
 
+from ...layers.blocks import Conv1x1
+
 
 class ImplicitHead(nn.Module):
     num_classes: int = 80
@@ -29,7 +31,7 @@ class ImplicitHead(nn.Module):
             ia = self.param(f"ia{k}", nn.initializers.normal(0.02),
                             (1, 1, 1, x.shape[-1]))
             x = x + ia
-            x = nn.Conv(ch, (1, 1), name=f"conv{k}")(x)
+            x = Conv1x1(ch, use_bias=True, name=f"conv{k}")(x)
             im = self.param(
                 f"im{k}",
                 lambda key, shape: 1.0 + nn.initializers.normal(0.02)(key, shape),

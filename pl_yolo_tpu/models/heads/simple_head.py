@@ -12,6 +12,8 @@ from typing import Sequence
 import jax
 from flax import linen as nn
 
+from ...layers.blocks import Conv1x1
+
 
 class SimpleHead(nn.Module):
     num_classes: int = 80
@@ -21,5 +23,5 @@ class SimpleHead(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], train: bool = False):
         ch = self.n_anchors * (5 + self.num_classes)
-        return [nn.Conv(ch, (1, 1), name=f"conv{k}")(x)
+        return [Conv1x1(ch, use_bias=True, name=f"conv{k}")(x)
                 for k, x in enumerate(inputs)]
