@@ -109,3 +109,38 @@ def test_focus_fused_equals_s2d_path():
     y_train = nref.apply(v, x, True)   # s2d + 3x3-s1 path
     np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_train),
                                atol=1e-5)
+
+
+def test_conv1x1_dot_matches_nn_conv():
+    """Conv1x1 (dot_general lowering, layers/blocks.py) must be numerically
+    identical to nn.Conv with the SAME param tree (kernel [1,1,cin,cout] +
+    bias) — checkpoints and fuse.py depend on the tree staying nn.Conv's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from pl_yolo_tpu.layers.blocks import Conv1x1
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 6, 6, 16)),
+                    jnp.float32)
+    mod = Conv1x1(24, use_bias=True)
+    v = mod.init(jax.random.key(0), x)
+    assert v["params"]["kernel"].shape == (1, 1, 16, 24)
+    assert v["params"]["bias"].shape == (24,)
+    ref = nn.Conv(24, (1, 1), use_bias=True)
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(v, x)), np.asarray(ref.apply(v, x)),
+        rtol=1e-6, atol=1e-6)
+    # grads agree too (the dot VJP is the whole point)
+    def loss_dot(p):
+        return jnp.sum(mod.apply(p, x) ** 2)
+
+    def loss_conv(p):
+        return jnp.sum(ref.apply(p, x) ** 2)
+
+    g_dot = jax.grad(loss_dot)(v)
+    g_conv = jax.grad(loss_conv)(v)
+    for a, b in zip(jax.tree.leaves(g_dot), jax.tree.leaves(g_conv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
