@@ -18,11 +18,15 @@ CAMs) and is never wired into a detector there. Here it serves BOTH roles:
     fused CAMs = (class->patch attention, summed over the last n_layers,
     mean over heads) * relu(patch CAM head output).
 
-TPU-first notes: attention weights for the CAM path are returned by a
-hand-written block (flax's MHA doesn't expose them); all-layer weights are
-stacked via a static Python loop (depth=12 unrolled under jit); position
-embeddings interpolate bicubically from the 14x14 native grid
-(:129-149), done once per compiled shape.
+TPU-first notes: the L encoder blocks are ONE stacked param tree applied by
+`lax.scan` (one compiled block body; the per-layer attention maps the CAM
+path needs come out as the scan's stacked ys). Like vit.py, the detection
+path accepts GPipe pipelining over the ambient mesh's 'pipe' axis
+(`parallel: {pipeline: N}`, PIPELINE_TOWER) — the stage function drops the
+attention output (only `classify`, which never trains a detector, consumes
+it, and it always runs the sequential scan). Position embeddings
+interpolate bicubically from the 14x14 native grid (:129-149), once per
+compiled shape.
 """
 
 from __future__ import annotations
@@ -33,41 +37,33 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .vit import _ln, stacked_init
+
 _trunc = nn.initializers.truncated_normal(0.02)
 
 
-class MCTBlock(nn.Module):
-    """Pre-norm ViT block that also returns head-resolved attention."""
-
-    dim: int
-    num_heads: int
-    mlp_ratio: float = 4.0
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
-        b, n, c = x.shape
-        nh = self.num_heads
-        hd = c // nh
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        qkv = nn.Dense(3 * c, kernel_init=_trunc, name="qkv")(y)
-        q, k, v = [qkv[..., i * c:(i + 1) * c].reshape(b, n, nh, hd)
-                   for i in range(3)]
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        attn = jax.nn.softmax(logits * (hd ** -0.5), axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v)
-        out = nn.Dense(c, kernel_init=_trunc,
-                       name="proj")(out.reshape(b, n, c))
-        x = x + out
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        y = nn.Dense(int(c * self.mlp_ratio), kernel_init=_trunc,
-                     name="fc1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(c, kernel_init=_trunc, name="fc2")(y)
-        return x + y, attn  # attn: [B, heads, N, N]
+def mct_block(p, x, num_heads: int):
+    """Pre-norm ViT block as a pure function of one layer's param slice;
+    also returns the head-resolved attention (for the CAM path)."""
+    b, n, c = x.shape
+    hd = c // num_heads
+    y = _ln(x, p["ln1_scale"], p["ln1_bias"])
+    qkv = y @ p["wqkv"] + p["bqkv"]
+    q, k, v = [qkv[..., i * c:(i + 1) * c].reshape(b, n, num_heads, hd)
+               for i in range(3)]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    attn = jax.nn.softmax(logits * (hd ** -0.5), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v)
+    x = x + out.reshape(b, n, c) @ p["wproj"] + p["bproj"]
+    y = _ln(x, p["ln2_scale"], p["ln2_bias"])
+    y = nn.gelu(y @ p["w1"] + p["b1"])
+    return x + y @ p["w2"] + p["b2"], attn  # attn: [B, heads, N, N]
 
 
 class MCTformer(nn.Module):
     """DeiT-small defaults (mctformer.py:186-189)."""
+
+    PIPELINE_TOWER = True
 
     num_classes: int = 80
     embed_dim: int = 384
@@ -78,7 +74,56 @@ class MCTformer(nn.Module):
     ref_grid: int = 14               # 224 / 16 pos-embed native grid
     out_strides: Sequence[int] = (8, 16, 32)
 
-    def _encode(self, x: jax.Array):
+    def tower_params(self) -> dict:
+        d, L = self.embed_dim, self.depth
+        mlp = int(d * self.mlp_ratio)
+        trunc = stacked_init(_trunc)
+        zeros, ones = nn.initializers.zeros, nn.initializers.ones
+        spec = {
+            "ln1_scale": ((d,), ones), "ln1_bias": ((d,), zeros),
+            "wqkv": ((d, 3 * d), trunc), "bqkv": ((3 * d,), zeros),
+            "wproj": ((d, d), trunc), "bproj": ((d,), zeros),
+            "ln2_scale": ((d,), ones), "ln2_bias": ((d,), zeros),
+            "w1": ((d, mlp), trunc), "b1": ((mlp,), zeros),
+            "w2": ((mlp, d), trunc), "b2": ((d,), zeros),
+        }
+        return {k: self.param(f"blocks_{k}", init, (L,) + shape)
+                for k, (shape, init) in spec.items()}
+
+    def _apply_tower(self, params: dict, x: jax.Array, collect_attn: bool):
+        """Sequential lax.scan (stacked attention ys when collect_attn) or,
+        for the detection path under an ambient 'pipe' mesh, the GPipe
+        pipeline (attention dropped — identical x math)."""
+        from ...parallel.mesh import pipeline_mesh
+
+        mesh = pipeline_mesh()
+        S = mesh.shape.get("pipe", 1) if mesh is not None else 1
+        if collect_attn or S <= 1 or self.is_initializing():
+            def body(carry, p):
+                y, a = mct_block(p, carry, self.num_heads)
+                return y, (a if collect_attn else None)
+            x, attns = jax.lax.scan(body, x, params)
+            return x, attns  # attns: [L, B, heads, N, N] or None
+        from ...parallel.pipeline import pipeline_apply
+
+        if self.depth % S:
+            raise ValueError(
+                f"parallel.pipeline={S} must divide MCTformer depth "
+                f"{self.depth}")
+        stages = jax.tree.map(
+            lambda a: a.reshape((S, self.depth // S) + a.shape[1:]), params)
+
+        def stage_fn(sp, xm):
+            def body(carry, p):
+                return mct_block(p, carry, self.num_heads)[0], None
+            y, _ = jax.lax.scan(body, xm, sp)
+            return y
+
+        batch_axis = ("data" if mesh.shape.get("data", 1) > 1 else None)
+        return pipeline_apply(stage_fn, stages, x, mesh=mesh, axis="pipe",
+                              batch_axis=batch_axis), None
+
+    def _encode(self, x: jax.Array, collect_attn: bool = False):
         """Shared trunk: patch embed + C class tokens + pos embed + blocks.
         Returns (class tokens [B,C,D], patch map [B,h,w,D], attn stack)."""
         b, H, W, _ = x.shape
@@ -104,11 +149,7 @@ class MCTformer(nn.Module):
         x = x + jnp.concatenate(
             [pos_cls, pos_patch.reshape(1, h * w, self.embed_dim)], axis=1)
 
-        attns = []
-        for i in range(self.depth):
-            x, a = MCTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                            name=f"block{i}")(x)
-            attns.append(a)
+        x, attns = self._apply_tower(self.tower_params(), x, collect_attn)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         patches = x[:, ncls:].reshape(b, h, w, self.embed_dim)
         return x[:, :ncls], patches, attns
@@ -137,16 +178,16 @@ class MCTformer(nn.Module):
         """MCTformerV2.forward (:70-108): returns (cls_logits [B,C],
         patch_logits [B,C], cams [B,h,w,C])."""
         ncls = self.num_classes
-        cls_tokens, patches, attns = self._encode(x)
+        cls_tokens, patches, attns = self._encode(x, collect_attn=True)
         b, h, w, _ = patches.shape
 
         cam_map = nn.Conv(ncls, (3, 3), name="head")(patches)  # [B,h,w,C]
         patch_logits = jnp.mean(cam_map, axis=(1, 2))
         cls_logits = jnp.mean(cls_tokens, axis=-1)
 
-        # [L, B, N, N]: head-mean per layer, sum class->patch slice over the
-        # last n_layers (reference :91-95)
-        stack = jnp.stack([jnp.mean(a, axis=1) for a in attns])
+        # attns [L, B, heads, N, N]: head-mean per layer, sum class->patch
+        # slice over the last n_layers (reference :91-95)
+        stack = jnp.mean(attns, axis=2)
         mtatt = jnp.sum(stack[-n_layers:, :, :ncls, ncls:], axis=0)
         mtatt = mtatt.reshape(b, ncls, h, w).transpose(0, 2, 3, 1)
         feature_map = jax.lax.stop_gradient(nn.relu(cam_map))

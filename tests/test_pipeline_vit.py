@@ -129,3 +129,29 @@ def test_vit_pp_depth_divisibility_error():
     with use_pipeline_mesh(mesh):
         with pytest.raises(ValueError, match="divide ViT depth"):
             jax.jit(lambda v, x: m.apply(v, x))(v, images)
+
+
+def test_mctformer_tower_pp_forward_matches_sequential():
+    """MCTformer's stacked tower (PIPELINE_TOWER) pipelines for the
+    detection path; classify (needs per-layer attention) stays sequential
+    and still works with the same params."""
+    import jax.numpy as jnp
+
+    from pl_yolo_tpu.models.backbones.mctformer import MCTformer
+
+    m = MCTformer(num_classes=5, embed_dim=32, depth=4, num_heads=2,
+                  patch_size=16)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 64, 64, 3)),
+                    jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    ref = m.apply(v, x)
+    mesh = make_mesh(data=2, pipe=4)
+    with use_pipeline_mesh(mesh):
+        pp = jax.jit(lambda v, x: m.apply(v, x))(v, x)
+        # classify ignores the pipe mesh (sequential scan) — same params
+        vc = m.init(jax.random.key(0), x, method=MCTformer.classify)
+        cl, pl, cams = m.apply(vc, x, method=MCTformer.classify)
+    for a, b in zip(ref, pp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    assert cams.shape == (8, 4, 4, 5) and bool(jnp.all(jnp.isfinite(cams)))
