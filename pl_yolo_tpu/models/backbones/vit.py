@@ -43,9 +43,53 @@ def _ln(x, scale, bias, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def vit_block(p, x, num_heads: int):
+def moe_ffn(p, y, capacity_factor: float = 1.25):
+    """Switch-style top-1 mixture-of-experts FFN — the TPU-native dense
+    dispatch formulation: routing becomes two one-hot matmuls (MXU work,
+    fixed shapes), never a gather/scatter.
+
+    p["moe_router"]: [d, E]; p["moe_w1"/"moe_b1"/"moe_w2"/"moe_b2"]:
+    [E, d, m]/[E, m]/[E, m, d]/[E, d]. Each token goes to its argmax expert,
+    scaled by the gate probability; each expert processes a fixed-capacity
+    buffer C = ceil(capacity_factor * tokens / E) and tokens over capacity
+    contribute zero (the residual around the FFN passes them through —
+    standard Switch semantics). Under `parallel: {expert: N}` the leading E
+    axis of the expert weights shards over the 'expert' mesh axis
+    (parallel/mesh.py::shard_tp) and GSPMD partitions the [E, C, ...] expert
+    buffers to match, so each device runs only its own experts' FFNs.
+
+    The Switch load-balancing auxiliary loss is intentionally omitted: this
+    is an extension beyond the reference (which has no MoE), and threading an
+    aux scalar out of the scanned tower would complicate every loss plumbing
+    path; with few experts over dense vision tokens the router stays
+    healthy in practice. Router math runs in fp32 (softmax/cumsum).
+    """
+    n_b, t, d = y.shape
+    E = p["moe_router"].shape[-1]
+    n = n_b * t
+    C = -(-int(n * capacity_factor) // E)
+    yt = y.reshape(n, d)
+    logits = yt.astype(jnp.float32) @ p["moe_router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)            # [n, E]
+    gate = jnp.max(probs, axis=-1)                     # [n]
+    onehot = jax.nn.one_hot(jnp.argmax(probs, -1), E, dtype=jnp.float32)
+    # position of each token inside its expert's capacity buffer
+    pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0    # [n, E]; -1 if unrouted
+    keep = onehot * (pos >= 0.0) * (pos < C)
+    disp = keep[:, :, None] * jax.nn.one_hot(
+        jnp.clip(pos, 0, C - 1).astype(jnp.int32), C, dtype=jnp.float32)
+    expert_in = jnp.einsum("nec,nd->ecd", disp.astype(y.dtype), yt)
+    h = jax.nn.gelu(jnp.einsum("ecd,edm->ecm", expert_in, p["moe_w1"])
+                    + p["moe_b1"][:, None, :])
+    out = jnp.einsum("ecm,emd->ecd", h, p["moe_w2"]) + p["moe_b2"][:, None, :]
+    comb = (disp * gate[:, None, None]).astype(out.dtype)
+    return jnp.einsum("nec,ecd->nd", comb, out).reshape(n_b, t, d)
+
+
+def vit_block(p, x, num_heads: int, moe_capacity: float = 1.25):
     """Pre-LN transformer encoder block as a pure function of one layer's
-    param slice (ViTBlock semantics: LN->MHA->res, LN->MLP(gelu)->res)."""
+    param slice (ViTBlock semantics: LN->MHA->res, LN->MLP(gelu)->res).
+    With `moe_*` keys in p the MLP is the top-1 MoE FFN above."""
     b, t, d = x.shape
     hd = d // num_heads
     y = _ln(x, p["ln1_scale"], p["ln1_bias"])
@@ -57,6 +101,8 @@ def vit_block(p, x, num_heads: int):
     o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, d)
     x = x + o @ p["wo"] + p["bo"]
     y = _ln(x, p["ln2_scale"], p["ln2_bias"])
+    if "moe_router" in p:
+        return x + moe_ffn(p, y, moe_capacity)
     y = jax.nn.gelu(y @ p["w1"] + p["b1"])
     return x + y @ p["w2"] + p["b2"]
 
@@ -74,9 +120,11 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     ref_grid: int = 14           # pos-embed native grid (224/16)
     out_strides: Sequence[int] = (8, 16, 32)
+    moe_experts: int = 0         # >1: MoE FFN (moe_ffn) instead of dense MLP
+    moe_capacity: float = 1.25   # per-expert capacity factor
 
     def tower_params(self) -> dict:
-        d, L = self.embed_dim, self.depth
+        d, L, E = self.embed_dim, self.depth, self.moe_experts
         mlp = int(d * self.mlp_ratio)
         lecun = stacked_init(nn.initializers.lecun_normal())
         zeros, ones = nn.initializers.zeros, nn.initializers.ones
@@ -87,9 +135,18 @@ class VisionTransformer(nn.Module):
             "wv": ((d, d), lecun), "bv": ((d,), zeros),
             "wo": ((d, d), lecun), "bo": ((d,), zeros),
             "ln2_scale": ((d,), ones), "ln2_bias": ((d,), zeros),
-            "w1": ((d, mlp), lecun), "b1": ((mlp,), zeros),
-            "w2": ((mlp, d), lecun), "b2": ((d,), zeros),
         }
+        if E > 1:
+            spec.update({
+                "moe_router": ((d, E), lecun),
+                "moe_w1": ((E, d, mlp), lecun), "moe_b1": ((E, mlp), zeros),
+                "moe_w2": ((E, mlp, d), lecun), "moe_b2": ((E, d), zeros),
+            })
+        else:
+            spec.update({
+                "w1": ((d, mlp), lecun), "b1": ((mlp,), zeros),
+                "w2": ((mlp, d), lecun), "b2": ((d,), zeros),
+            })
         return {k: self.param(f"blocks_{k}", init, (L,) + shape)
                 for k, (shape, init) in spec.items()}
 
@@ -97,7 +154,8 @@ class VisionTransformer(nn.Module):
         from ...parallel.mesh import pipeline_mesh
 
         def body(carry, p):
-            return vit_block(p, carry, self.num_heads), None
+            return vit_block(p, carry, self.num_heads,
+                             self.moe_capacity), None
 
         mesh = pipeline_mesh()
         S = mesh.shape.get("pipe", 1) if mesh is not None else 1

@@ -173,6 +173,8 @@ def _vit(cfg: dict) -> nn.Module:
         num_heads=int(cfg.get("num_heads", 12)),
         patch_size=int(cfg.get("patch_size", 16)),
         mlp_ratio=float(cfg.get("mlp_ratio", 4.0)),
+        moe_experts=int(cfg.get("moe_experts", 0)),
+        moe_capacity=float(cfg.get("moe_capacity", 1.25)),
     )
 
 

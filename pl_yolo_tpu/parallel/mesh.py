@@ -40,19 +40,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int | None = None, model: int = 1, spatial: int = 1,
-              pipe: int = 1, devices: list | None = None) -> Mesh:
-    """Build a ('data', 'model', 'spatial', 'pipe') mesh. Defaults to all
-    devices on 'data'; trivial axes (size 1) are harmless — every P spec
-    that omits them replicates over them."""
+              pipe: int = 1, expert: int = 1,
+              devices: list | None = None) -> Mesh:
+    """Build a ('data', 'model', 'spatial', 'pipe', 'expert') mesh.
+    Defaults to all devices on 'data'; trivial axes (size 1) are harmless —
+    every P spec that omits them replicates over them."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // (model * spatial * pipe)
-    if data * model * spatial * pipe != n:
+        data = n // (model * spatial * pipe * expert)
+    if data * model * spatial * pipe * expert != n:
         raise ValueError(
-            f"mesh {data}x{model}x{spatial}x{pipe} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model, spatial, pipe)
-    return Mesh(dev_array, axis_names=("data", "model", "spatial", "pipe"))
+            f"mesh {data}x{model}x{spatial}x{pipe}x{expert} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model, spatial, pipe,
+                                            expert)
+    return Mesh(dev_array,
+                axis_names=("data", "model", "spatial", "pipe", "expert"))
 
 
 # Ambient mesh for pipeline-parallel towers (parallel/pipeline.py): modules
@@ -115,15 +118,40 @@ def tp_spec(x, model_size: int) -> P:
     return P()
 
 
+def ep_spec(path, x, expert_size: int) -> P | None:
+    """PartitionSpec for expert parallelism, or None if the leaf is not an
+    expert weight. MoE expert weights/biases (models/backbones/vit.py::
+    moe_ffn) are stacked [L, E, ...] with leaf names `blocks_moe_w1` etc.;
+    the E axis shards over 'expert'. The router ([L, d, E]) is tiny and
+    needed by every token, so it replicates (the `moe_w`/`moe_b` name
+    filter excludes it). GSPMD then partitions the [E, C, ...] dispatch
+    buffers and expert matmuls to match — each device runs only its own
+    experts' FFNs and all-reduces the combine."""
+    import jax.tree_util as jtu
+    name = jtu.keystr(path)
+    if (("moe_w" in name or "moe_b" in name)
+            and getattr(x, "ndim", 0) >= 2 and x.shape[1] % expert_size == 0):
+        return P(None, "expert")
+    return None
+
+
 def shard_tp(tree, mesh: Mesh):
     """Place a pytree (TrainState / params / opt moments) onto the mesh with
-    cout-sharded conv kernels. With a trivial 'model' axis this is plain
-    replication, so it is safe to call unconditionally."""
+    cout-sharded conv kernels ('model' axis) and expert-sharded MoE weights
+    ('expert' axis). With trivial axes this is plain replication, so it is
+    safe to call unconditionally. Optimizer moments and EMA copies mirror
+    the param tree's leaf names, so one path-based rule covers the whole
+    TrainState."""
+    import jax.tree_util as jtu
     model_size = mesh.shape["model"]
+    expert_size = mesh.shape.get("expert", 1)
 
-    def put(x):
-        return jax.device_put(x, NamedSharding(mesh, tp_spec(x, model_size)))
-    return jax.tree.map(put, tree)
+    def put(path, x):
+        spec = (ep_spec(path, x, expert_size) if expert_size > 1 else None)
+        if spec is None:
+            spec = tp_spec(x, model_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jtu.tree_map_with_path(put, tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -89,13 +89,26 @@ class Trainer:
         self.model_par = int(par.get("model", 1))
         self.spatial_par = int(par.get("spatial", 1))
         self.pipe_par = int(par.get("pipeline", 1))
+        self.expert_par = int(par.get("expert", 1))
         n_dev = jax.local_device_count()
-        non_data = self.model_par * self.spatial_par * self.pipe_par
+        non_data = (self.model_par * self.spatial_par * self.pipe_par
+                    * self.expert_par)
         if n_dev % non_data != 0:
             raise ValueError(
                 f"parallel.model={self.model_par} x parallel.spatial="
-                f"{self.spatial_par} x parallel.pipeline={self.pipe_par} "
+                f"{self.spatial_par} x parallel.pipeline={self.pipe_par} x "
+                f"parallel.expert={self.expert_par} "
                 f"must divide the device count {n_dev}")
+        if self.expert_par > 1:
+            # EP shards MoE expert weights; a non-MoE model would silently
+            # waste the whole 'expert' slice on replication
+            moe = int(getattr(self.model.module.backbone, "moe_experts", 0))
+            if moe % self.expert_par:
+                raise ValueError(
+                    f"parallel.expert={self.expert_par} needs a MoE backbone "
+                    f"with moe_experts divisible by it (got {moe}) — set "
+                    "backbone.moe_experts (vision_transformer) or drop the "
+                    "key")
         data_par = n_dev // non_data
         if self.pipe_par > 1:
             # GPipe over the backbone tower (parallel/pipeline.py): only
@@ -131,7 +144,7 @@ class Trainer:
                     f"parallel.spatial={self.spatial_par} needs train H={h} "
                     f"divisible by 32*{self.spatial_par}")
         self.mesh = make_mesh(model=self.model_par, spatial=self.spatial_par,
-                              pipe=self.pipe_par)
+                              pipe=self.pipe_par, expert=self.expert_par)
         self.ckpt = CheckpointManager(self.out_dir / "checkpoints",
                                       max_to_keep=save_top_k, monitor="mAP")
 
@@ -167,7 +180,7 @@ class Trainer:
         tx, self._schedule = build_optimizer(
             self.model_cfg["optimizer"], total_steps)
         state = TrainState.create(variables, tx, use_ema=self.use_ema)
-        if self.model_par > 1:
+        if self.model_par > 1 or self.expert_par > 1:
             from ..parallel.mesh import shard_tp
             state = shard_tp(state, self.mesh)
         return state

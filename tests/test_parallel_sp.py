@@ -105,7 +105,7 @@ def test_trainer_spatial_config_surface(tmp_path):
     }
     cfg = dict(MODEL_CFG, parallel={"spatial": 2})
     tr = Trainer(cfg, data_cfg, output_dir=str(tmp_path / "runs"))
-    assert tr.mesh.shape == {"data": 4, "model": 1, "spatial": 2}
+    assert dict(tr.mesh.shape) == {"data": 4, "model": 1, "spatial": 2, "pipe": 1, "expert": 1}
 
     # H not divisible through the /32 pyramid is a hard config error
     data_bad = dict(data_cfg)

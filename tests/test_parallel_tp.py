@@ -90,7 +90,7 @@ def test_trainer_parallel_config_surface(tmp_path):
     }
     cfg = dict(MODEL_CFG, parallel={"model": 2})
     tr = Trainer(cfg, data_cfg, output_dir=str(tmp_path / "runs"))
-    assert tr.mesh.shape == {"data": 4, "model": 2, "spatial": 1}
+    assert dict(tr.mesh.shape) == {"data": 4, "model": 2, "spatial": 1, "pipe": 1, "expert": 1}
 
     # non-dividing model axis is a hard config error
     bad = dict(MODEL_CFG, parallel={"model": 3})
