@@ -135,23 +135,76 @@ def ep_spec(path, x, expert_size: int) -> P | None:
     return None
 
 
-def shard_tp(tree, mesh: Mesh):
-    """Place a pytree (TrainState / params / opt moments) onto the mesh with
-    cout-sharded conv kernels ('model' axis) and expert-sharded MoE weights
-    ('expert' axis). With trivial axes this is plain replication, so it is
-    safe to call unconditionally. Optimizer moments and EMA copies mirror
-    the param tree's leaf names, so one path-based rule covers the whole
-    TrainState."""
+def zero_spec(path, x, base: P, data_size: int) -> P:
+    """ZeRO-1-style spec for one TrainState leaf: optimizer moments and EMA
+    copies (redundant per-replica state — the leaves whose path starts with
+    `.opt_state` or `.ema_`) additionally shard over 'data' on the first
+    axis that divides it and is not already taken by the tp/ep spec. Params
+    and batch stats stay replicated (the forward/backward needs them whole
+    every step; gathering them per-step is ZeRO-3 territory), so the train
+    step's only extra collective is the all-gather of the (elementwise)
+    update term — exactly the ZeRO-1 trade. Leaves with no divisible free
+    axis just stay on `base` (replicated over 'data'): correctness never
+    depends on the rule firing."""
+    import jax.tree_util as jtu
+    name = jtu.keystr(path)
+    if not (name.startswith(".opt_state") or name.startswith(".ema_")):
+        return base
+    used = tuple(base) + (None,) * (getattr(x, "ndim", 0) - len(tuple(base)))
+    for ax in range(getattr(x, "ndim", 0)):
+        if used[ax] is None and x.shape[ax] % data_size == 0:
+            return P(*(used[:ax] + ("data",) + used[ax + 1:]))
+    return base
+
+
+def state_specs(tree, mesh: Mesh, zero: bool = False):
+    """PartitionSpec pytree for a TrainState (or any sub-tree): cout-sharded
+    conv kernels over 'model', expert-sharded MoE weights over 'expert',
+    and — with zero=True — opt-state/EMA leaves sharded over 'data'
+    (zero_spec). One path-based rule covers the whole TrainState because
+    moments and EMA copies mirror the param tree's leaf names."""
     import jax.tree_util as jtu
     model_size = mesh.shape["model"]
     expert_size = mesh.shape.get("expert", 1)
+    data_size = mesh.shape["data"]
 
-    def put(path, x):
-        spec = (ep_spec(path, x, expert_size) if expert_size > 1 else None)
-        if spec is None:
-            spec = tp_spec(x, model_size)
-        return jax.device_put(x, NamedSharding(mesh, spec))
-    return jtu.tree_map_with_path(put, tree)
+    def spec(path, x):
+        s = (ep_spec(path, x, expert_size) if expert_size > 1 else None)
+        if s is None:
+            # a trivial 'model' axis must not claim cout — it would block
+            # zero_spec from sharding it over 'data'
+            s = tp_spec(x, model_size) if model_size > 1 else P()
+        if zero and data_size > 1:
+            s = zero_spec(path, x, s, data_size)
+        return s
+    return jtu.tree_map_with_path(spec, tree)
+
+
+def shard_tp(tree, mesh: Mesh, zero: bool = False):
+    """Place a pytree (TrainState / params / opt moments) onto the mesh with
+    cout-sharded conv kernels ('model' axis) and expert-sharded MoE weights
+    ('expert' axis); zero=True additionally shards optimizer moments and EMA
+    copies over 'data' (zero_spec). With trivial axes this is plain
+    replication, so it is safe to call unconditionally."""
+    specs = state_specs(tree, mesh, zero=zero)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def zero_constraint(tree, mesh: Mesh):
+    """with_sharding_constraint hook pinning a new TrainState to its ZeRO
+    layout INSIDE the jitted step — without it GSPMD is free to replicate
+    the updated moments on output and the memory saving evaporates. Returns
+    a fn(state)->state (or None when the mesh has one data device)."""
+    if mesh.shape["data"] <= 1:
+        return None
+    specs = state_specs(tree, mesh, zero=True)
+
+    def constrain(state):
+        return jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, s)), state, specs)
+    return constrain
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -71,6 +71,7 @@ def make_train_step(
     donate: bool = True,
     sanitize: bool = False,
     constrain_images: Callable | None = None,
+    constrain_state: Callable | None = None,
 ):
     """Build the jitted train step.
 
@@ -82,6 +83,10 @@ def make_train_step(
     the 'spatial' mesh axis so GSPMD keeps the whole conv pyramid spatially
     partitioned (augmentation's global gathers would otherwise make the
     propagated sharding collapse to replicated).
+    constrain_state: optional hook applied to the updated TrainState before
+    return (parallel/mesh.py::zero_constraint) — pins optimizer moments and
+    EMA copies to their ZeRO 'data'-sharded layout so GSPMD cannot
+    replicate them on output.
 
     The returned step takes two optional traced flags for the epoch-gated
     YOLOX no-aug schedule — step(state, images, labels, rng,
@@ -149,6 +154,8 @@ def make_train_step(
         new_state = state.replace(
             step=new_step, params=new_params, batch_stats=new_stats,
             opt_state=new_opt_state, ema_params=new_ema_p, ema_batch_stats=new_ema_s)
+        if constrain_state is not None:
+            new_state = constrain_state(new_state)
         return new_state, losses
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -90,6 +90,12 @@ class Trainer:
         self.spatial_par = int(par.get("spatial", 1))
         self.pipe_par = int(par.get("pipeline", 1))
         self.expert_par = int(par.get("expert", 1))
+        # ZeRO-1-style redundancy elimination (`parallel: {zero: true}`):
+        # optimizer moments + EMA copies shard over 'data' (mesh.py::
+        # zero_spec); params/grads stay replicated. Per-chip state memory
+        # for those leaves drops ~data_par x, at the cost of an all-gather
+        # of the elementwise update term each step.
+        self.zero_par = bool(par.get("zero", False))
         n_dev = jax.local_device_count()
         non_data = (self.model_par * self.spatial_par * self.pipe_par
                     * self.expert_par)
@@ -180,9 +186,9 @@ class Trainer:
         tx, self._schedule = build_optimizer(
             self.model_cfg["optimizer"], total_steps)
         state = TrainState.create(variables, tx, use_ema=self.use_ema)
-        if self.model_par > 1 or self.expert_par > 1:
+        if self.model_par > 1 or self.expert_par > 1 or self.zero_par:
             from ..parallel.mesh import shard_tp
-            state = shard_tp(state, self.mesh)
+            state = shard_tp(state, self.mesh, zero=self.zero_par)
         return state
 
     def fit(self, resume_from: str | None = None, resume: bool = False):
@@ -256,12 +262,14 @@ class Trainer:
                     from ..data.augment import multiscale_resize
                     imgs, labs = base_aug(rng, images, labels, enable=enable)
                     return multiscale_resize(imgs, labs, out_hw)
-            from ..parallel.mesh import sp_constraint
+            from ..parallel.mesh import sp_constraint, zero_constraint
             return make_train_step(
                 apply_fn, self.model.loss.train_loss,
                 use_ema=self.use_ema, augment_fn=aug,
                 sanitize=self.sanitize,
-                constrain_images=sp_constraint(self.mesh))
+                constrain_images=sp_constraint(self.mesh),
+                constrain_state=(zero_constraint(self.state, self.mesh)
+                                 if self.zero_par else None))
 
         base_hw = tuple(self.datamodule.train_size)
         if ms_sizes:
@@ -326,7 +334,11 @@ class Trainer:
                     step += 1  # host-side counter: reading state.step would sync
                     if step % self.log_every == 0:
                         metrics = {k: float(v) for k, v in losses.items()}
-                        metrics["lr"] = float(self._schedule(step))
+                        # schedule is indexed by optimizer UPDATES, which lag
+                        # micro-steps under accumulate_steps (optim.py)
+                        accum = int(self.model_cfg.get("optimizer", {})
+                                    .get("accumulate_steps", 1))
+                        metrics["lr"] = float(self._schedule(step // accum))
                         self.logger.log_metrics(metrics, step)
                         if not np.isfinite(metrics["loss"]):
                             # sanitizer (SURVEY §5): fail loudly with a
@@ -488,6 +500,11 @@ class Trainer:
             ema_batch_stats=restored["ema_batch_stats"],
             **({"step": restored["step"], "opt_state": restored["opt_state"]}
                if resume else {}))
+        if self.model_par > 1 or self.expert_par > 1 or self.zero_par:
+            # restored arrays land with whatever layout orbax gave them;
+            # re-pin the tp/ep/zero shardings before the step compiles
+            from ..parallel.mesh import shard_tp
+            self.state = shard_tp(self.state, self.mesh, zero=self.zero_par)
         if resume and self._steps_per_epoch:
             return int(restored["step"]) // self._steps_per_epoch
         return 0
