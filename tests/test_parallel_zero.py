@@ -119,6 +119,85 @@ def test_dp8_zero_equals_dp8_and_actually_shards():
                 == int(np.prod(x.shape)))
 
 
+def test_dp8_zero_accumulate_end_to_end():
+    """ZeRO + gradient accumulation actually TRAIN together (ADVICE r3):
+    two dp8+zero+accumulate_steps=2 micro-steps must equal one plain-dp8
+    update on the mean gradient, and MultiSteps' acc_grads buffer must stay
+    'data'-sharded through the constrain_state/donation path."""
+    from pl_yolo_tpu.models.detector import build_model
+    from pl_yolo_tpu.train.optim import build_optimizer
+    from pl_yolo_tpu.train.state import TrainState, make_train_step
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(11)
+    im1 = rng.uniform(0, 255, (8, 64, 64, 3)).astype(np.float32)
+    im2 = rng.uniform(0, 255, (8, 64, 64, 3)).astype(np.float32)
+    labels = np.zeros((8, 10, 5), np.float32)
+    labels[:, 0] = [1, 32, 32, 20, 20]
+    mesh = make_mesh(model=1)
+
+    model = build_model(dict(MODEL_CFG), num_classes=3)
+    variables = model.init(jax.random.key(0), input_size=(64, 64))
+
+    def run(accum, zero, micro_batches):
+        # warmup=0 so update 0's LR is horizon-independent (the schedule
+        # horizon is total_steps/accum, which differs between the runs)
+        tx, _ = build_optimizer(
+            dict(MODEL_CFG["optimizer"], accumulate_steps=accum, warmup=0),
+            total_steps=10)
+        state = TrainState.create(
+            jax.tree.map(lambda x: np.array(x, copy=True), variables), tx,
+            use_ema=False)
+        state = shard_tp(state, mesh, zero=zero)
+        step = make_train_step(
+            model.module.apply, model.loss.train_loss, use_ema=False,
+            donate=True,
+            constrain_state=zero_constraint(state, mesh) if zero else None)
+        with mesh:
+            for i, imgs in enumerate(micro_batches):
+                state, losses = step(
+                    state,
+                    jax.device_put(jnp.asarray(imgs), batch_sharding(mesh)),
+                    jax.device_put(jnp.asarray(labels), batch_sharding(mesh)),
+                    jax.random.key(100 + i))
+            jax.block_until_ready(losses["loss"])
+        return state
+
+    st_acc = run(accum=2, zero=True, micro_batches=[im1, im2])
+    # reference: one plain-dp8 SGD update on the MEAN of the two micro-batch
+    # grads == feeding both micro-batches through accumulate_steps=2. The
+    # BN batch_stats paths differ (running stats tick per micro-step), so
+    # compare PARAMS, which only move on the flush.
+    st_a = run(accum=1, zero=False, micro_batches=[im1])
+    st_b = run(accum=1, zero=False, micro_batches=[im2])
+    # mean of the two single-step deltas = update on mean grad (plain SGD,
+    # momentum buffer starts at 0, lr identical at schedule step 0)
+    base = jax.tree.leaves(variables["params"])
+    acc = jax.tree.leaves(st_acc.params)
+    pa = jax.tree.leaves(st_a.params)
+    pb = jax.tree.leaves(st_b.params)
+    for v0, vacc, va, vb in list(zip(base, acc, pa, pb))[:10]:
+        mean_delta = (np.asarray(va) - np.asarray(v0)
+                      + np.asarray(vb) - np.asarray(v0)) / 2.0
+        np.testing.assert_allclose(np.asarray(vacc) - np.asarray(v0),
+                                   mean_delta, rtol=2e-3, atol=1e-6)
+
+    # layout: acc_grads (and inner moments) stayed 'data'-sharded after two
+    # donated steps through zero_constraint
+    def _on_data(x):
+        spec = getattr(getattr(x, "sharding", None), "spec", ())
+        flat = []
+        for part in tuple(spec):
+            flat += list(part) if isinstance(part, tuple) else [part]
+        return "data" in flat
+
+    import optax
+    assert isinstance(st_acc.opt_state, optax.MultiStepsState)
+    acc_sharded = sum(1 for x in jax.tree.leaves(st_acc.opt_state.acc_grads)
+                      if getattr(x, "ndim", 0) >= 1 and _on_data(x))
+    assert acc_sharded >= 10, "acc_grads lost the ZeRO 'data' sharding"
+
+
 def test_trainer_zero_config_surface(tmp_path):
     from pl_yolo_tpu.train.trainer import Trainer
 

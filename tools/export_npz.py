@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Export a YOLOX-family model to a runtime-independent .npz artifact.
+
+The deployment-interchange path (reference tools/export_onnx.py:20 exports
+ONNX; no ONNX serializer is importable here, so the portable artifact is a
+flat npz of fp32 weights + a JSON meta record) consumed by
+pl_yolo_tpu/deploy/numpy_infer.py — a single-file pure-numpy runtime that
+reproduces the device eval outputs (verified by tests/test_numpy_deploy.py
+and by this script's --verify flag, the analogue of
+tools/onnx_inference.py:22-71's parity demo).
+
+Usage:
+    python tools/export_npz.py -c configs/model/yolox_s.yaml \
+        --checkpoint runs/yolox_s/checkpoints --out yolox_s.npz --verify
+
+Without --checkpoint the export uses fresh-init weights (still a valid
+parity check; detections are meaningless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def flatten(tree, prefix):
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            flat.update(flatten(v, key))
+        else:
+            flat[key] = np.asarray(v, np.float32)
+    return flat
+
+
+def export_npz(model_cfg: dict, variables: dict, out_path: str,
+               num_classes: int) -> dict:
+    """Write the npz artifact; returns the meta record."""
+    if model_cfg["backbone"]["name"] != "cspdarknet" or \
+            model_cfg["neck"]["name"] != "csppafpn" or \
+            model_cfg["head"]["name"] != "decoupled_head":
+        raise SystemExit("npz deploy covers the YOLOX family "
+                         "(cspdarknet + csppafpn + decoupled_head)")
+    meta = {
+        "family": "yolox",
+        "num_classes": num_classes,
+        "backbone_depths": list(model_cfg["backbone"].get(
+            "depths", [3, 9, 9, 3])),
+        "backbone_outputs": list(model_cfg["backbone"].get(
+            "outputs", ["stage2", "stage3", "stage4"])),
+        "neck_depths": list(model_cfg["neck"].get("depths", [1, 1, 1, 1])),
+        "backbone_depthwise": bool(model_cfg["backbone"].get(
+            "depthwise", False)),
+        "neck_depthwise": bool(model_cfg["neck"].get("depthwise", False)),
+        "head_depthwise": bool(model_cfg["head"].get("depthwise", False)),
+        "strides": list(model_cfg.get("loss", {}).get(
+            "stride", [8, 16, 32])),
+        "layout": "NHWC, kernels HWIO, pixels 0-255 float32",
+    }
+    arrays = flatten(variables["params"], "params")
+    arrays.update(flatten(variables.get("batch_stats", {}), "batch_stats"))
+    arrays["__meta__"] = np.asarray(json.dumps(meta))
+    np.savez(out_path, **arrays)
+    return meta
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (Orbax); EMA weights are exported")
+    ap.add_argument("--out", default="model.npz")
+    ap.add_argument("--num-classes", type=int, default=80)
+    ap.add_argument("--verify", action="store_true",
+                    help="run jax vs numpy parity on a random image")
+    ap.add_argument("--size", type=int, default=256,
+                    help="verify image size (multiple of 64)")
+    args = ap.parse_args()
+
+    import jax
+
+    from pl_yolo_tpu.models.detector import build_model
+    from pl_yolo_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    model = build_model(cfg, num_classes=args.num_classes)
+    variables = model.init(jax.random.key(0),
+                           input_size=(args.size, args.size))
+    if args.checkpoint:
+        from pl_yolo_tpu.train.checkpoint import CheckpointManager
+        restored = CheckpointManager(args.checkpoint).restore(
+            abstract_tree={"params": variables["params"],
+                           "batch_stats": variables.get("batch_stats", {}),
+                           "ema_params": variables["params"],
+                           "ema_batch_stats": variables.get(
+                               "batch_stats", {})})
+        variables = {"params": restored["ema_params"],
+                     "batch_stats": restored["ema_batch_stats"]}
+    meta = export_npz(cfg, jax.device_get(variables), args.out,
+                      args.num_classes)
+    n = sum(x.size for x in jax.tree.leaves(variables))
+    print(f"wrote {args.out}: {n / 1e6:.2f}M params, meta={meta}")
+
+    if args.verify:
+        import jax.numpy as jnp
+
+        from pl_yolo_tpu.deploy import numpy_infer as ni
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (1, args.size, args.size, 3)).astype(
+            np.float32)
+        dev = np.asarray(model.loss.eval_decode(model.module.apply(
+            variables, jnp.asarray(img), False)), np.float32)
+        params, stats, meta = ni.load_npz(args.out)
+        host = ni.forward(params, stats, img, meta)
+        # bf16 model compute -> loose band; fp32 models sit at ~1e-5
+        tol = 1e-2 if cfg.get("dtype") in ("bfloat16", "bf16") else 1e-4
+        err = float(np.max(np.abs(dev - host)
+                           / np.maximum(1.0, np.abs(dev))))
+        print(f"max rel err jax-vs-numpy: {err:.3e} (tol {tol})")
+        assert err <= tol, "numpy deploy parity FAILED"
+        dets = ni.postprocess(host, conf_threshold=0.3)
+        print(f"numpy postprocess: {[d.shape[0] for d in dets]} detections")
+        print("parity OK")
+
+
+if __name__ == "__main__":
+    main()
