@@ -179,7 +179,7 @@ def main():
     # becomes the binding constraint. So the honest efficiency metric here
     # is e2e vs the MEASURED transfer bound, reported alongside e2e vs the
     # device step rate.
-    e2e_ips = loader_ips = link_mbps = None
+    e2e_ips = loader_ips = link_mbps = loader_sweep = None
     if E2E:
         from pl_yolo_tpu.data.datasets import COCODataset
         from pl_yolo_tpu.data.loader import TrainLoader, device_prefetch
@@ -205,13 +205,31 @@ def main():
         _ = float(losses["loss"])
         e2e_ips = BATCH * E2E_ITERS / (time.perf_counter() - t0)
 
-        # host-only batch assembly rate (disk cache -> collated numpy)
-        next(loader)
-        t0 = time.perf_counter()
-        for _ in range(4):
-            next(loader)
-        loader_ips = 4 * BATCH / (time.perf_counter() - t0)
         loader.close()
+
+        # host-only batch assembly rate (disk cache -> collated numpy).
+        # Warm 3 batches first (page cache, worker spin-up) and time >= 20
+        # (the old 4-batch read mixed cold page-cache into the figure), per
+        # worker count: 0 (in-thread) / 2 / 4 subprocess workers. On this
+        # 1-core host extra workers mostly measure scheduling overhead; on
+        # a real multi-core PCIe host they scale the decode (PERF.md "feed
+        # budget" has the cores-per-chip arithmetic).
+        def _loader_rate(workers: int, warm: int = 3, iters: int = 20):
+            ld = TrainLoader(ds, BATCH, num_workers=workers)
+            try:
+                for _ in range(warm):
+                    next(ld)
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    next(ld)
+                return BATCH * iters / (time.perf_counter() - t0)
+            finally:
+                ld.close()
+
+        loader_sweep = {str(w): round(_loader_rate(w), 1)
+                        for w in (0, 2, 4)}
+        loader_ips = loader_sweep[str(E2E_WORKERS)] if str(E2E_WORKERS) \
+            in loader_sweep else _loader_rate(E2E_WORKERS)
 
         # host->device link bandwidth, fenced by per-array scalar readback
         # (block_until_ready acks EARLY through the tunnel — do not trust it)
@@ -258,6 +276,7 @@ def main():
                                else None),
         "host_loader_images_per_sec": (round(loader_ips, 1) if loader_ips
                                        else None),
+        "host_loader_sweep_by_workers": loader_sweep,
         "h2d_link_MBps": (round(link_mbps, 1) if link_mbps else None),
         # e2e vs what the measured host->device link can physically carry —
         # ~1.0 means the input path saturates the link (see comment above)
