@@ -176,6 +176,13 @@ class Trainer:
         except ValueError:
             pass  # non-main thread (e.g. tests)
 
+    @property
+    def preempted(self) -> bool:
+        """True once a SIGTERM/SIGINT preemption checkpoint was taken —
+        callers (train.py) use it to exit EX_TEMPFAIL so restart wrappers
+        relaunch with --resume rather than treating the run as complete."""
+        return self._preempted
+
     # ------------------------------------------------------------------ fit
 
     def _build_state(self, total_steps: int) -> TrainState:

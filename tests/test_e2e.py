@@ -138,3 +138,36 @@ def test_cli_yaml_roundtrip(tmp_path, coco_root):
     dpath.write_text(yaml.safe_dump(_data_cfg(coco_root)))
     dcfg = validate_data_config(load_config(dpath))
     assert dcfg["num_classes"] == 3
+
+
+def test_preemption_checkpoints_and_flags(coco_root, tmp_path):
+    """SIGTERM preemption: the handler sets the flag, fit() checkpoints at
+    the next step boundary and returns, `trainer.preempted` is True (train
+    .py maps it to exit 75 so tools/launch_coco300.sh relaunches with
+    --resume instead of declaring the run complete), and the checkpoint is
+    resumable."""
+    import signal
+
+    from pl_yolo_tpu.train.trainer import Trainer
+
+    out = tmp_path / "runs"
+    trainer = Trainer(TINY_MODEL, _data_cfg(coco_root), max_epochs=50,
+                      check_val_every_n_epoch=50, output_dir=str(out),
+                      logger="csv")
+    # simulate the preemption signal through the registered handler (the
+    # real delivery path minus the kernel): flag flips, fit() stops after
+    # the first step with a checkpoint rather than running 50 epochs
+    handler = signal.getsignal(signal.SIGTERM)
+    assert callable(handler)
+    handler(signal.SIGTERM, None)
+    assert trainer.preempted
+    trainer.fit()
+    assert int(trainer.state.step) == 1  # stopped at the first boundary
+    assert trainer.ckpt.latest_step is not None
+
+    trainer2 = Trainer(TINY_MODEL, _data_cfg(coco_root), max_epochs=50,
+                       output_dir=str(out), logger="csv")
+    trainer2._steps_per_epoch = 1
+    trainer2.state = trainer2._build_state(10)
+    trainer2._restore(None, resume=True)
+    assert int(trainer2.state.step) == 1

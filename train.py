@@ -53,6 +53,11 @@ def main():
                      show_score_thr=args.show_score_thr)
     else:
         trainer.fit(resume_from=args.ckpt, resume=args.resume)
+        if trainer.preempted:
+            # distinguish a preemption checkpoint from real completion so
+            # restart wrappers (tools/launch_coco300.sh) relaunch with
+            # --resume instead of declaring the run done. 75 = EX_TEMPFAIL.
+            raise SystemExit(75)
 
 
 if __name__ == "__main__":
