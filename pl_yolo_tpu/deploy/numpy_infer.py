@@ -1,10 +1,11 @@
 """Runtime-independent YOLOX inference: pure numpy, zero jax/XLA imports.
 
-The deployment-interchange artifact (reference tools/export_onnx.py:20 +
-tools/onnx_inference.py:22-71 ship an ONNX graph plus an onnxruntime demo;
-no ONNX serializer is importable in this environment, so the equivalent
-portable artifact here is weights-as-npz + THIS file): any Python with
-numpy can load the exported .npz and reproduce the device eval outputs —
+One of the two deployment-interchange artifacts (reference
+tools/export_onnx.py:20 + tools/onnx_inference.py:22-71 ship an ONNX graph
+plus an onnxruntime demo; here tools/export_onnx.py emits real ONNX via
+deploy/onnx_writer.py, and weights-as-npz + THIS file is the
+runtime-independent fallback): any Python with numpy can load the exported
+.npz and reproduce the device eval outputs —
 decoded [B, A, 5+C] predictions and NMS'ed detections — bit-for-bit up to
 fp32 rounding. Parity vs the jax forward is asserted by
 tests/test_numpy_deploy.py.

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Export a YOLOX-family model to a runtime-independent .npz artifact.
 
-The deployment-interchange path (reference tools/export_onnx.py:20 exports
-ONNX; no ONNX serializer is importable here, so the portable artifact is a
-flat npz of fp32 weights + a JSON meta record) consumed by
+The runtime-independent deployment path (reference tools/export_onnx.py:20
+exports ONNX — ours is tools/export_onnx.py via the clean-room serializer;
+this sibling artifact is a flat npz of fp32 weights + a JSON meta record,
+loadable with numpy alone) consumed by
 pl_yolo_tpu/deploy/numpy_infer.py — a single-file pure-numpy runtime that
 reproduces the device eval outputs (verified by tests/test_numpy_deploy.py
 and by this script's --verify flag, the analogue of
