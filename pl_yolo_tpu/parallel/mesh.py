@@ -135,20 +135,32 @@ def ep_spec(path, x, expert_size: int) -> P | None:
     return None
 
 
-def zero_spec(path, x, base: P, data_size: int) -> P:
-    """ZeRO-1-style spec for one TrainState leaf: optimizer moments and EMA
-    copies (redundant per-replica state — the leaves whose path starts with
-    `.opt_state` or `.ema_`) additionally shard over 'data' on the first
-    axis that divides it and is not already taken by the tp/ep spec. Params
-    and batch stats stay replicated (the forward/backward needs them whole
-    every step; gathering them per-step is ZeRO-3 territory), so the train
-    step's only extra collective is the all-gather of the (elementwise)
-    update term — exactly the ZeRO-1 trade. Leaves with no divisible free
-    axis just stay on `base` (replicated over 'data'): correctness never
-    depends on the rule firing."""
+def zero_spec(path, x, base: P, data_size: int, level: int = 1) -> P:
+    """ZeRO-style spec for one TrainState leaf, sharding redundant
+    per-replica state over 'data' on the first axis that divides it and is
+    not already taken by the tp/ep spec.
+
+    level 1 (`parallel: {zero: true}`): optimizer moments and EMA copies
+    (paths starting `.opt_state` / `.ema_`). Params and batch stats stay
+    replicated, so the step's only extra collective is the all-gather of
+    the (elementwise) update term — the classic ZeRO-1 trade.
+
+    level 3 (`parallel: {zero: 3}`): additionally shards the PARAMS at
+    rest (`.params`). GSPMD then inserts the per-step param all-gather in
+    the forward and the matching reduce-scatter of the gradients, and the
+    optimizer update runs shard-wise — per-chip params+moments+EMA memory
+    all drop ~data_par x at the cost of one parameter-sized all-gather +
+    reduce-scatter per step (see PERF.md ICI table; the GSPMD formulation
+    of ZeRO-3 / FSDP). Batch stats stay replicated (tiny, and the BN
+    update mutates them in-forward).
+
+    Leaves with no divisible free axis just stay on `base` (replicated
+    over 'data'): correctness never depends on the rule firing."""
     import jax.tree_util as jtu
     name = jtu.keystr(path)
-    if not (name.startswith(".opt_state") or name.startswith(".ema_")):
+    roots = ((".opt_state", ".ema_", ".params") if level >= 3
+             else (".opt_state", ".ema_"))
+    if not name.startswith(roots):
         return base
     used = tuple(base) + (None,) * (getattr(x, "ndim", 0) - len(tuple(base)))
     for ax in range(getattr(x, "ndim", 0)):
@@ -157,16 +169,18 @@ def zero_spec(path, x, base: P, data_size: int) -> P:
     return base
 
 
-def state_specs(tree, mesh: Mesh, zero: bool = False):
+def state_specs(tree, mesh: Mesh, zero: bool | int = False):
     """PartitionSpec pytree for a TrainState (or any sub-tree): cout-sharded
     conv kernels over 'model', expert-sharded MoE weights over 'expert',
-    and — with zero=True — opt-state/EMA leaves sharded over 'data'
-    (zero_spec). One path-based rule covers the whole TrainState because
-    moments and EMA copies mirror the param tree's leaf names."""
+    and — with zero truthy — ZeRO-sharded redundant state over 'data'
+    (zero_spec; True/1 = moments+EMA, 3 = params too). One path-based rule
+    covers the whole TrainState because moments and EMA copies mirror the
+    param tree's leaf names."""
     import jax.tree_util as jtu
     model_size = mesh.shape["model"]
     expert_size = mesh.shape.get("expert", 1)
     data_size = mesh.shape["data"]
+    level = int(zero or 0)
 
     def spec(path, x):
         s = (ep_spec(path, x, expert_size) if expert_size > 1 else None)
@@ -174,31 +188,32 @@ def state_specs(tree, mesh: Mesh, zero: bool = False):
             # a trivial 'model' axis must not claim cout — it would block
             # zero_spec from sharding it over 'data'
             s = tp_spec(x, model_size) if model_size > 1 else P()
-        if zero and data_size > 1:
-            s = zero_spec(path, x, s, data_size)
+        if level and data_size > 1:
+            s = zero_spec(path, x, s, data_size, level=level)
         return s
     return jtu.tree_map_with_path(spec, tree)
 
 
-def shard_tp(tree, mesh: Mesh, zero: bool = False):
+def shard_tp(tree, mesh: Mesh, zero: bool | int = False):
     """Place a pytree (TrainState / params / opt moments) onto the mesh with
     cout-sharded conv kernels ('model' axis) and expert-sharded MoE weights
-    ('expert' axis); zero=True additionally shards optimizer moments and EMA
-    copies over 'data' (zero_spec). With trivial axes this is plain
-    replication, so it is safe to call unconditionally."""
+    ('expert' axis); zero=True/1 additionally shards optimizer moments and
+    EMA copies over 'data', zero=3 the params too (zero_spec). With trivial
+    axes this is plain replication, so it is safe to call unconditionally."""
     specs = state_specs(tree, mesh, zero=zero)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
 
 
-def zero_constraint(tree, mesh: Mesh):
+def zero_constraint(tree, mesh: Mesh, zero: bool | int = True):
     """with_sharding_constraint hook pinning a new TrainState to its ZeRO
     layout INSIDE the jitted step — without it GSPMD is free to replicate
-    the updated moments on output and the memory saving evaporates. Returns
-    a fn(state)->state (or None when the mesh has one data device)."""
+    the updated moments (and, at zero=3, params) on output and the memory
+    saving evaporates. Returns a fn(state)->state (or None when the mesh
+    has one data device)."""
     if mesh.shape["data"] <= 1:
         return None
-    specs = state_specs(tree, mesh, zero=True)
+    specs = state_specs(tree, mesh, zero=zero)
 
     def constrain(state):
         return jax.tree.map(

@@ -90,12 +90,14 @@ class Trainer:
         self.spatial_par = int(par.get("spatial", 1))
         self.pipe_par = int(par.get("pipeline", 1))
         self.expert_par = int(par.get("expert", 1))
-        # ZeRO-1-style redundancy elimination (`parallel: {zero: true}`):
-        # optimizer moments + EMA copies shard over 'data' (mesh.py::
-        # zero_spec); params/grads stay replicated. Per-chip state memory
-        # for those leaves drops ~data_par x, at the cost of an all-gather
-        # of the elementwise update term each step.
-        self.zero_par = bool(par.get("zero", False))
+        # ZeRO-style redundancy elimination (`parallel: {zero: true|3}`):
+        # true/1 shards optimizer moments + EMA copies over 'data'
+        # (mesh.py::zero_spec; params/grads stay replicated — one
+        # update-term all-gather per step). 3 additionally shards the
+        # PARAMS at rest (GSPMD inserts the per-step param all-gather +
+        # gradient reduce-scatter — the FSDP/ZeRO-3 trade), cutting
+        # per-chip state memory ~data_par x across the board.
+        self.zero_par = int(par.get("zero", 0) or 0)
         n_dev = jax.local_device_count()
         non_data = (self.model_par * self.spatial_par * self.pipe_par
                     * self.expert_par)
@@ -275,7 +277,8 @@ class Trainer:
                 use_ema=self.use_ema, augment_fn=aug,
                 sanitize=self.sanitize,
                 constrain_images=sp_constraint(self.mesh),
-                constrain_state=(zero_constraint(self.state, self.mesh)
+                constrain_state=(zero_constraint(self.state, self.mesh,
+                                                 zero=self.zero_par)
                                  if self.zero_par else None))
 
         base_hw = tuple(self.datamodule.train_size)

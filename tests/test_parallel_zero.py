@@ -64,7 +64,8 @@ def _run_one_step(mesh, images, labels, zero):
     state = shard_tp(state, mesh, zero=zero)
     step = make_train_step(
         model.module.apply, model.loss.train_loss, donate=False,
-        constrain_state=zero_constraint(state, mesh) if zero else None)
+        constrain_state=(zero_constraint(state, mesh, zero=zero)
+                         if zero else None))
     imgs = jax.device_put(jnp.asarray(images), batch_sharding(mesh))
     labs = jax.device_put(jnp.asarray(labels), batch_sharding(mesh))
     with mesh:
@@ -211,9 +212,57 @@ def test_trainer_zero_config_surface(tmp_path):
     }
     cfg = dict(MODEL_CFG, parallel={"zero": True})
     tr = Trainer(cfg, data_cfg, output_dir=str(tmp_path / "runs"))
-    assert tr.zero_par is True
+    assert tr.zero_par == 1  # yaml true -> level 1; `zero: 3` -> level 3
+    cfg3 = dict(MODEL_CFG, parallel={"zero": 3})
+    tr3 = Trainer(cfg3, data_cfg, output_dir=str(tmp_path / "runs3"))
+    assert tr3.zero_par == 3
     st = tr._build_state(total_steps=10)
     specs = state_specs(st, tr.mesh, zero=True)
     assert any("data" in tuple(s)
                for s in jax.tree.leaves(specs.opt_state)
                if isinstance(s, P))
+
+
+def test_dp8_zero3_equals_dp8_and_shards_params():
+    """ZeRO-3 (`parallel: {zero: 3}`): params themselves live 'data'-sharded
+    at rest — GSPMD inserts the per-step param all-gather and gradient
+    reduce-scatter — and one train step must match plain dp8 numerically
+    (it is a layout change, not a math change)."""
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(13)
+    images = rng.uniform(0, 255, (8, 64, 64, 3)).astype(np.float32)
+    labels = np.zeros((8, 10, 5), np.float32)
+    labels[:, 0] = [1, 32, 32, 20, 20]
+    mesh = make_mesh(model=1)
+
+    st_dp, l_dp = _run_one_step(mesh, images, labels, zero=False)
+    st_z3, l_z3 = _run_one_step(mesh, images, labels, zero=3)
+
+    np.testing.assert_allclose(float(l_dp["loss"]), float(l_z3["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_dp.params)[:6],
+                    jax.tree.leaves(st_z3.params)[:6]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # layout: post-step PARAMS really live sharded over 'data' (every leaf
+    # with a divisible axis holds 1/8 locally); moments/EMA too
+    import jax.tree_util as jtu
+    n_sharded = 0
+    for p, x in jtu.tree_leaves_with_path(st_z3.params):
+        if getattr(x, "ndim", 0) < 1:
+            continue
+        full = int(np.prod(x.shape))
+        local = int(np.prod(x.addressable_shards[0].data.shape))
+        if any(d % 8 == 0 and d > 0 for d in x.shape):
+            assert local * 8 == full, (jtu.keystr(p), x.shape, x.sharding)
+            n_sharded += 1
+    assert n_sharded >= 10
+    # the dp run keeps params replicated
+    for x in jax.tree.leaves(st_dp.params):
+        if getattr(x, "ndim", 0) >= 1:
+            assert (int(np.prod(x.addressable_shards[0].data.shape))
+                    == int(np.prod(x.shape)))
+    # and the zero3 compiled program really gathers/scatters parameters:
+    # eval path still works from sharded params (decode shapes intact)
+    assert np.isfinite(float(l_z3["loss"]))

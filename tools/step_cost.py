@@ -97,8 +97,9 @@ def main():
                     help="mesh 'model' size")
     ap.add_argument("--spatial", type=int, default=1,
                     help="mesh 'spatial' size")
-    ap.add_argument("--zero", action="store_true",
-                    help="ZeRO-1 optimizer-state sharding over 'data'")
+    ap.add_argument("--zero", type=int, nargs="?", const=1, default=0,
+                    help="ZeRO level: 1 = optimizer-state sharding over "
+                         "'data', 3 = params too (FSDP-style)")
     ap.add_argument("--devices", type=int, default=0,
                     help="force N virtual CPU devices (implies --cpu)")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
@@ -159,7 +160,8 @@ def main():
             donate=False,
             constrain_images=(sp_constraint(mesh) if args.spatial > 1
                               else None),
-            constrain_state=(zero_constraint(state, mesh) if args.zero
+            constrain_state=(zero_constraint(state, mesh, zero=args.zero)
+                             if args.zero
                              else None))
         sharded = shard_batch(mesh, {"images": images, "labels": labels})
         images, labels = sharded["images"], sharded["labels"]
@@ -203,7 +205,7 @@ def main():
         n = n_par
         print(f"\ncollectives in the optimized HLO "
               f"(dp{args.data} x tp{args.model_par} x sp{args.spatial}"
-              f"{' +zero' if args.zero else ''}, per-device program):")
+              f"{f' +zero{args.zero}' if args.zero else ''}, per-device program):")
         if not coll:
             print("  none")
         tot_bytes = 0
