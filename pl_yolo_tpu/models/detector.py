@@ -285,7 +285,11 @@ def _yolox_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
     return LossSpec(
         train_loss=functools.partial(
             yolox_loss, num_classes=num_classes, strides=strides,
-            use_l1=bool(cfg.get("use_l1", False))),
+            use_l1=bool(cfg.get("use_l1", False)),
+            # loss: {assign_chunk: N} — label-axis-chunked SimOTA; identical
+            # outputs, [chunk, A] peak temps (the HBM lever for batch >128)
+            assign_chunk=(int(cfg["assign_chunk"])
+                          if cfg.get("assign_chunk") else None)),
         eval_decode=functools.partial(yolox_eval_decode, strides=strides),
         strides=strides,
     )

@@ -116,12 +116,22 @@ def simota_assign(
     y_shifts: jax.Array,      # [A]
     strides: jax.Array,       # [A]
     center_radius: float = 2.5,
+    chunk: int | None = None,
 ) -> AssignOut:
     """SimOTA for ONE image, fully fixed-shape (vmap over batch).
 
     Reference: get_in_boxes_info (yolox_loss.py:231-315), cost build
     (:84-108), dynamic_k_matching (:318-370).
+
+    `chunk`: optional label-axis chunking (`_simota_assign_chunked`) — same
+    outputs, [chunk, A] peak temporaries instead of [M, A]. The [M, A] cost
+    build is the largest HBM temporary of the whole train step at big batch
+    (PERF.md: f32[B,100,8400,2] = 1.68 GiB at B256).
     """
+    if chunk is not None and chunk < gt_boxes.shape[0]:
+        return _simota_assign_chunked(
+            gt_boxes, gt_classes, gt_valid, pred_boxes, obj_logits,
+            cls_logits, x_shifts, y_shifts, strides, center_radius, chunk)
     num_classes = cls_logits.shape[-1]
     xc = (x_shifts + 0.5) * strides                      # [A] anchor centers
     yc = (y_shifts + 0.5) * strides
@@ -200,12 +210,149 @@ def simota_assign(
     )
 
 
+def _simota_assign_chunked(
+    gt_boxes, gt_classes, gt_valid, pred_boxes, obj_logits, cls_logits,
+    x_shifts, y_shifts, strides, center_radius, chunk: int,
+) -> AssignOut:
+    """Label-axis-chunked SimOTA: identical outputs to the dense path.
+
+    A `lax.scan` over ceil(M/chunk) gt chunks carries per-ANCHOR
+    accumulators; nothing [M, A]-shaped is ever live:
+
+      * n_claims[A]   — how many gts' dynamic-k sets claimed the anchor;
+      * sum_row[A]    — sum of claiming row indices (for n_claims == 1 this
+                        IS the matched row, replicating argmax-first-True);
+      * sum_iou[A]    — sum of claiming rows' IoU (ditto);
+      * running (min_cost, argmin_row, iou_at_min)[A] — strict-< update so
+        the FIRST minimum wins across chunks, replicating jnp.argmin.
+
+    The dense path's conflict resolution (yolox_loss.py:352-356: anchors
+    claimed by >1 gts are force-assigned to the argmin-cost gt) then reduces
+    to a per-anchor select between the two accumulator families. Rows of a
+    conflict-free anchor and the argmin of a conflicted one coincide with
+    the dense path's, so outputs are bit-identical up to fp reduction order
+    (tests/test_simota_chunk.py asserts exact equality on random problems).
+
+    All chunk math (cost, dynamic-k, matching) sits under the caller's
+    stop_gradient, so the scan adds no backward buffers.
+    """
+    num_classes = cls_logits.shape[-1]
+    a = pred_boxes.shape[0]
+    m = gt_boxes.shape[0]
+    pad = (-m) % chunk
+    if pad:  # pad with invalid gts — masked out of every term below
+        gt_boxes = jnp.concatenate(
+            [gt_boxes, jnp.zeros((pad, 4), gt_boxes.dtype)])
+        gt_classes = jnp.concatenate(
+            [gt_classes, jnp.zeros((pad,), gt_classes.dtype)])
+        gt_valid = jnp.concatenate([gt_valid, jnp.zeros((pad,), bool)])
+    n_chunks = (m + pad) // chunk
+
+    xc = (x_shifts + 0.5) * strides
+    yc = (y_shifts + 0.5) * strides
+    pred_xyxy = cxcywh2xyxy(pred_boxes)
+
+    # per-anchor cls-cost ingredients (see module docstring), [A, C] / [A]
+    p = jnp.sqrt(jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(obj_logits)[:, None])
+    p = jnp.clip(p, 1e-8, 1.0 - 1e-8)
+    log_p = jnp.log(p)
+    log_1mp = jnp.log1p(-p)
+    s_all = -jnp.sum(log_1mp, axis=-1)
+
+    as_chunks = lambda x: x.reshape(n_chunks, chunk, *x.shape[1:])
+    gtb, gtc, gtv = as_chunks(gt_boxes), as_chunks(gt_classes), as_chunks(gt_valid)
+    row0s = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    def geometry(boxes, valid):
+        gx, gy, gw, gh = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        l = xc[None, :] - (gx - 0.5 * gw)[:, None]
+        r = (gx + 0.5 * gw)[:, None] - xc[None, :]
+        t = yc[None, :] - (gy - 0.5 * gh)[:, None]
+        b = (gy + 0.5 * gh)[:, None] - yc[None, :]
+        in_box = (jnp.minimum(jnp.minimum(l, r), jnp.minimum(t, b)) > 0.0)
+        rad = center_radius * strides[None, :]
+        cl = xc[None, :] - (gx[:, None] - rad)
+        cr = (gx[:, None] + rad) - xc[None, :]
+        ct = yc[None, :] - (gy[:, None] - rad)
+        cb = (gy[:, None] + rad) - yc[None, :]
+        in_center = (jnp.minimum(jnp.minimum(cl, cr), jnp.minimum(ct, cb)) > 0.0)
+        v = valid[:, None]
+        return in_box & v, in_center & v
+
+    def fg_step(acc, xs):
+        boxes, valid = xs
+        in_box, in_center = geometry(boxes, valid)
+        return acc | jnp.any(in_box | in_center, axis=0), None
+
+    fg_cand, _ = jax.lax.scan(fg_step, jnp.zeros((a,), bool), (gtb, gtv))
+
+    def step(carry, xs):
+        n_claims, sum_row, sum_iou, min_cost, argmin_row, iou_at_min = carry
+        boxes, classes, valid, row0 = xs
+        in_box, in_center = geometry(boxes, valid)
+        vmask = valid[:, None] & fg_cand[None, :]
+        pair = pairwise_iou(cxcywh2xyxy(boxes), pred_xyxy)
+        pair = jnp.where(vmask, pair, 0.0)
+        iou_cost = -jnp.log(pair + 1e-8)
+        onehot_cls = jax.nn.one_hot(
+            jnp.clip(classes, 0, num_classes - 1), num_classes)
+        cls_cost = s_all[None, :] - onehot_cls @ log_p.T + onehot_cls @ log_1mp.T
+        cost = (cls_cost + 3.0 * iou_cost
+                + CENTER_PENALTY * (~(in_box & in_center))
+                + INVALID_PENALTY * (~vmask))
+
+        topk_iou = topk_lastdim(pair, min(10, a))
+        dynamic_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, 10)
+        neg_top = topk_lastdim(-cost, 10)
+        kth_cost = -jnp.take_along_axis(
+            neg_top, dynamic_k[:, None] - 1, axis=1)[:, 0]
+        matching = (cost <= kth_cost[:, None]) & vmask
+
+        rows = row0 + jnp.arange(chunk, dtype=jnp.int32)
+        n_claims = n_claims + jnp.sum(matching, axis=0, dtype=jnp.int32)
+        sum_row = sum_row + jnp.sum(
+            jnp.where(matching, rows[:, None], 0), axis=0, dtype=jnp.int32)
+        sum_iou = sum_iou + jnp.sum(jnp.where(matching, pair, 0.0), axis=0)
+
+        chunk_min = jnp.min(cost, axis=0)
+        chunk_arg = jnp.argmin(cost, axis=0).astype(jnp.int32)
+        # IoU at the chunk argmin row, as a one-hot contraction (chunk is
+        # small; per-anchor axis-0 gathers are slow on TPU)
+        chunk_iou = jnp.sum(
+            pair * jax.nn.one_hot(chunk_arg, chunk, dtype=pair.dtype, axis=0),
+            axis=0)
+        upd = chunk_min < min_cost          # strict: first minimum wins
+        min_cost = jnp.where(upd, chunk_min, min_cost)
+        argmin_row = jnp.where(upd, row0 + chunk_arg, argmin_row)
+        iou_at_min = jnp.where(upd, chunk_iou, iou_at_min)
+        return (n_claims, sum_row, sum_iou, min_cost, argmin_row, iou_at_min), None
+
+    init = (jnp.zeros((a,), jnp.int32), jnp.zeros((a,), jnp.int32),
+            jnp.zeros((a,), jnp.float32), jnp.full((a,), jnp.inf, jnp.float32),
+            jnp.zeros((a,), jnp.int32), jnp.zeros((a,), jnp.float32))
+    (n_claims, sum_row, sum_iou, min_cost, argmin_row, iou_at_min), _ = (
+        jax.lax.scan(step, init, (gtb, gtc, gtv, row0s)))
+
+    multi = n_claims > 1
+    fg_mask = n_claims >= 1
+    matched_gt = jnp.where(multi, argmin_row, sum_row)
+    pred_ious = jnp.where(multi, iou_at_min, sum_iou)
+    return AssignOut(
+        fg_mask=fg_mask,
+        matched_gt=matched_gt,
+        pred_ious=pred_ious,
+        num_fg=jnp.sum(fg_mask).astype(jnp.float32),
+        num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+    )
+
+
 def yolox_loss(
     outputs: Sequence[jax.Array],   # per-level NHWC head maps
     labels: jax.Array,              # [B, max_labels, 5] = [cls, cx, cy, w, h]
     num_classes: int,
     strides: Sequence[int] = (8, 16, 32),
     use_l1: bool = False,
+    assign_chunk: int | None = None,
 ) -> dict[str, jax.Array]:
     """Training loss (yolox_loss.py:38-173): GIoU*5 + obj BCE + cls BCE (+L1),
     normalized by total foreground count across the batch."""
@@ -228,7 +375,7 @@ def yolox_loss(
     # top-k (ops/pallas/topk_pallas.py) stays the production path.
     sg = jax.lax.stop_gradient
     assign = jax.vmap(
-        functools.partial(simota_assign),
+        functools.partial(simota_assign, chunk=assign_chunk),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
     )(
         sg(gt_boxes), gt_classes, gt_valid, sg(bbox_preds),
