@@ -14,8 +14,14 @@ and SKIPS execution rather than risk wedging the worker. Only points that
 fit are actually timed (3 warmup + --iters steps, scalar-readback fenced —
 block_until_ready lies through the axon tunnel).
 
+`--assign-chunk N` additionally sweeps the SimOTA label-axis chunking
+(loss: {assign_chunk: N} — losses/yolox.py::_simota_assign_chunked): the
+B256 compile-OOM attribution showed the [B,100,8400] SimOTA cost temps are
+the largest HBM tensors of the step, so chunking is the memory lever that
+matters for batch >128 (0 = dense path).
+
 Usage: python tools/remat_sweep.py [--batches 128,160,192,256]
-       [--remat 0,1] [--iters 10] [--hbm-cap-gib 13.5]
+       [--remat 0,1] [--assign-chunk 0,25] [--iters 10] [--hbm-cap-gib 13.5]
 """
 
 from __future__ import annotations
@@ -36,6 +42,8 @@ def main():
     ap.add_argument("--batches", default="128,160,192,256")
     ap.add_argument("--remat", default="1",
                     help="comma list of 0/1 remat settings to sweep")
+    ap.add_argument("--assign-chunk", default="0",
+                    help="comma list of SimOTA assign_chunk values (0=dense)")
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--hbm-cap-gib", type=float, default=13.5)
@@ -64,9 +72,14 @@ def main():
     cap = args.hbm_cap_gib * 2**30
     rows = []
 
-    for remat in [bool(int(r)) for r in args.remat.split(",")]:
+    combos = [(bool(int(r)), int(c))
+              for r in args.remat.split(",")
+              for c in args.assign_chunk.split(",")]
+    for remat, chunk in combos:
         cfg = load_config(pathlib.Path(args.config))
         cfg["remat"] = remat
+        if chunk:
+            cfg["loss"]["assign_chunk"] = chunk
         model = build_model(cfg, num_classes=80)  # sets the ambient flag
         variables = model.init(jax.random.key(0), input_size=(S, S))
         tx, _ = build_optimizer(cfg["optimizer"], total_steps=1000)
@@ -94,8 +107,14 @@ def main():
             labels = jnp.asarray(labels)
 
             t0 = time.perf_counter()
-            compiled = jax.jit(step).lower(
-                state, images, labels, jax.random.key(0)).compile()
+            try:
+                compiled = jax.jit(step).lower(
+                    state, images, labels, jax.random.key(0)).compile()
+            except Exception as e:  # XLA compile-time OOM (B256 dense did this)
+                print(f"B{B} remat={int(remat)} chunk={chunk}: COMPILE FAILED "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                rows.append((B, remat, chunk, None, None))
+                continue
             t_compile = time.perf_counter() - t0
             mem = compiled.memory_analysis()
             peak = None
@@ -107,14 +126,14 @@ def main():
                             - getattr(mem, "alias_size_in_bytes", 0))
                 except AttributeError:
                     peak = None
-            tag = f"B{B} remat={int(remat)}"
+            tag = f"B{B} remat={int(remat)} chunk={chunk}"
             if peak is not None:
                 print(f"{tag}: compiled in {t_compile:.0f}s, projected peak "
                       f"{peak / 2**30:.2f} GiB", flush=True)
                 if peak > cap:
                     print(f"{tag}: SKIP execution (> {args.hbm_cap_gib} GiB "
                           f"cap — would risk wedging the worker)", flush=True)
-                    rows.append((B, remat, peak, None))
+                    rows.append((B, remat, chunk, peak, None))
                     continue
             else:
                 print(f"{tag}: compiled in {t_compile:.0f}s, no "
@@ -135,17 +154,17 @@ def main():
             except Exception as e:
                 print(f"{tag}: RUN FAILED {type(e).__name__}: {e}",
                       flush=True)
-                rows.append((B, remat, peak, None))
+                rows.append((B, remat, chunk, peak, None))
                 continue
             print(f"{tag}: {ips:.1f} img/s", flush=True)
-            rows.append((B, remat, peak, ips))
+            rows.append((B, remat, chunk, peak, ips))
             del state, images, labels, step, compiled
 
-    print("\n| batch | remat | projected peak HBM | img/s |")
-    print("|---|---|---|---|")
-    for (B, remat, peak, ips) in rows:
+    print("\n| batch | remat | assign_chunk | projected peak HBM | img/s |")
+    print("|---|---|---|---|---|")
+    for (B, remat, chunk, peak, ips) in rows:
         pk = f"{peak / 2**30:.2f} GiB" if peak else "?"
-        print(f"| {B} | {'on' if remat else 'off'} | {pk} | "
+        print(f"| {B} | {'on' if remat else 'off'} | {chunk or '-'} | {pk} | "
               f"{f'{ips:.1f}' if ips else 'skipped/failed'} |")
 
 
