@@ -55,6 +55,11 @@ def _conv(g: GraphBuilder, x: str, kernel: np.ndarray, bias, stride=1,
           groups=1, act="silu") -> str:
     """kernel HWIO (flax) -> OIHW initializer; SAME-style symmetric pads."""
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if kh != kw or kh % 2 != 1:
+        raise ValueError(
+            f"ONNX export only supports square odd kernels (got {kh}x{kw}); "
+            "even/non-square kernels would need asymmetric pads — route the "
+            "stem through s2d+3x3 (the default) instead of the fused 6x6")
     pad = (kh - 1) // 2
     w = g.init("w", np.ascontiguousarray(kernel.transpose(3, 2, 0, 1)))
     inputs = [x, w]

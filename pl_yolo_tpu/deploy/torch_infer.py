@@ -131,7 +131,9 @@ def build_torch_model(params, stats, meta):
             self.csps = nn.ModuleList(
                 [CSP(*sub(pb, sb, f"stage{i + 1}_csp"), depths[i],
                      i != 3, dw) for i in range(4)])
-            self.out_idx = [int(k[5:]) for k in meta["backbone_outputs"]]
+            # name-keyed like onnx_export.py's feats dict: supports 'stem'
+            # as an output and fails with a clear KeyError on anything else
+            self.out_keys = list(meta["backbone_outputs"])
 
             pn, sn = params["neck"], stats.get("neck", {})
             nd = meta["neck_depths"][0]
@@ -176,14 +178,14 @@ def build_torch_model(params, stats, meta):
             x = x.reshape(b, c, h // 2, 2, w // 2, 2)
             x = x.permute(0, 5, 3, 1, 2, 4).reshape(b, 4 * c, h // 2, w // 2)
             x = self.stem(x)
-            feats = []
+            feats = {"stem": x}
             for i in range(4):
                 x = self.downs[i](x)
                 if i == 3:
                     x = self.spp(x)
                 x = self.csps[i](x)
-                feats.append(x)
-            c3, c4, c5 = [feats[i - 1] for i in self.out_idx]
+                feats[f"stage{i + 1}"] = x
+            c3, c4, c5 = [feats[k] for k in self.out_keys]
 
             p5e = self.shrink1(c5)
             p4 = self.p5p4(torch.cat(

@@ -58,7 +58,14 @@ def collective_payloads(hlo_text: str):
     combiner groups many gradients into one variadic op — missing those
     undercounted the dp8 audit 20x), so the tuple branch matches to the
     closing paren, not to the first '='.
+
+    TPU-compiled HLO adds brace-delimited layout annotations that contain
+    parens of their own (`f32[8,128]{1,0:T(8,128)}`), which would stop the
+    tuple branch at the first ')' inside a layout and silently drop the
+    rest of a variadic payload — so all `{...}` groups are stripped first
+    (layout/metadata braces don't nest in HLO text).
     """
+    hlo_text = re.sub(r"\{[^{}]*\}", "", hlo_text)
     pat = re.compile(
         r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\]\S*)\s+"
         r"(" + "|".join(_COLL) + r")(-start)?\(")
