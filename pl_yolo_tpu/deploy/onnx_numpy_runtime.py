@@ -10,6 +10,16 @@ executor reproduces the jax eval forward through the .onnx FILE, which
 pins both the serializer and the graph builder; an external onnxruntime
 sees exactly the same bytes. Mirrors what the reference's onnxruntime
 demo consumes (reference tools/onnx_inference.py:22-71).
+
+Round 5: the op set grew to cover graphs produced by an INDEPENDENT
+exporter — torch's ONNX symbolic trace of the deploy/torch_infer.py
+rebuild (tests/test_onnx_cross.py) — which emits dynamic-shape machinery
+(Constant / Shape / Gather / Unsqueeze / Squeeze / Cast / Ceil /
+ConstantOfShape / NonZero / Expand / Div / Range / Where / Equal) plus
+opset-13 forms (Slice with steps, Unsqueeze axes-as-input, 2-input
+Resize with half_pixel nearest). Executing torch's graph and matching
+torch's own output cross-validates this executor's op semantics against
+a second implementation of the spec.
 """
 
 from __future__ import annotations
@@ -21,20 +31,29 @@ from .numpy_infer import conv2d, max_pool_same, sigmoid
 
 
 def _attr_value(msg: dict):
+    # NB: a conformant proto3 serializer (e.g. the official protobuf
+    # runtime) OMITS default-valued scalar fields entirely — an INT
+    # attribute of 0 arrives with no field 3 — so every branch must
+    # fall back to the proto3 default rather than index blindly.
     atype = msg.get(20, [0])[0]
     if atype == 1:
-        return np.frombuffer(msg[2][0], "<f4")[0].item()
+        return np.frombuffer(msg[2][0], "<f4")[0].item() if 2 in msg else 0.0
     if atype == 2:
-        v = msg[3][0]
+        v = msg.get(3, [0])[0]
         return v - (1 << 64) if v >= (1 << 63) else v
     if atype == 3:
-        return msg[4][0].decode()
+        return msg.get(4, [b""])[0].decode()
     if atype == 4:
         return ow.parse_tensor(msg[5][0])[1]
     if atype == 6:
-        return np.frombuffer(msg[7][0], "<f4").tolist()
+        floats = []
+        for blob in msg.get(7, []):
+            floats.extend(np.frombuffer(blob, "<f4").tolist())
+        return floats
     if atype == 7:
-        vals = ow.parse_packed_varints(msg[8][0])
+        vals = []
+        for blob in msg.get(8, []):
+            vals.extend(ow.parse_packed_varints(blob))
         return [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
     raise ValueError(f"unsupported attribute type {atype}")
 
@@ -74,10 +93,16 @@ class OnnxModel:
     def run(self, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         vals: dict[str, np.ndarray] = dict(self.initializers)
         for k, v in feeds.items():
-            vals[k] = np.asarray(v, np.float32)
+            v = np.asarray(v)
+            vals[k] = v.astype(np.float32) if v.dtype.kind == "f" else v
         for op, inputs, outputs, attrs in self.nodes:
             args = [vals[i] for i in inputs]
-            vals[outputs[0]] = _OPS[op](args, attrs)
+            out = _OPS[op](args, attrs)
+            if isinstance(out, tuple):
+                for name, o in zip(outputs, out):
+                    vals[name] = o
+            else:
+                vals[outputs[0]] = out
         return {n: vals[n] for n in self.output_names}
 
 
@@ -100,23 +125,90 @@ def _op_maxpool(args, attrs):
     k = int(attrs["kernel_shape"][0])
     assert attrs.get("strides", [1, 1])[0] == 1 and \
         int(attrs.get("pads", [0] * 4)[0]) == k // 2, "SAME s1 pools only"
+    assert all(int(d) == 1 for d in attrs.get("dilations", [1, 1]))
+    assert int(attrs.get("ceil_mode", 0)) == 0
     x = args[0].transpose(0, 2, 3, 1)
     return np.ascontiguousarray(max_pool_same(x, k).transpose(0, 3, 1, 2))
 
 
 def _op_resize(args, attrs):
+    # two accepted forms: opset-13 (X, roi, scales[, sizes]) as our builder
+    # emits, and torch's legacy 2-input (X, scales). For nearest + integer
+    # scale the ctm variants in play (asymmetric+floor, half_pixel+
+    # round_prefer_floor = the spec defaults) all reduce to index//scale.
     x, scales = args[0], args[-1]
     assert attrs.get("mode") == "nearest" and list(scales) == [1, 1, 2, 2]
-    assert attrs.get("coordinate_transformation_mode") == "asymmetric"
+    assert attrs.get("coordinate_transformation_mode",
+                     "half_pixel") in ("asymmetric", "half_pixel")
+    assert attrs.get("nearest_mode", "round_prefer_floor") in (
+        "floor", "round_prefer_floor")
     return x.repeat(2, axis=2).repeat(2, axis=3)
 
 
 def _op_slice(args, attrs):
     x, starts, ends, axes = args[0], args[1], args[2], args[3]
+    steps = args[4] if len(args) > 4 else [1] * len(np.atleast_1d(starts))
     idx = [slice(None)] * x.ndim
-    for st, en, ax in zip(starts, ends, axes):
-        idx[int(ax)] = slice(int(st), int(en))
+    for st, en, ax, sp in zip(np.atleast_1d(starts), np.atleast_1d(ends),
+                              np.atleast_1d(axes), np.atleast_1d(steps)):
+        # clamp the INT64_MAX "to the end" sentinel so python slices accept it
+        en = min(int(en), x.shape[int(ax)])
+        idx[int(ax)] = slice(int(st), en, int(sp))
     return x[tuple(idx)]
+
+
+# --------------------------------------------- dynamic-shape / misc ops
+# (emitted by torch's exporter; standard ONNX semantics, numpy analogues)
+
+_CAST_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 5: np.int16,
+                6: np.int32, 7: np.int64, 9: np.bool_, 11: np.float64}
+
+
+def _op_gather(args, attrs):
+    axis = int(attrs.get("axis", 0))
+    return np.take(args[0], np.asarray(args[1], np.int64), axis=axis)
+
+
+def _op_unsqueeze(args, attrs):
+    axes = (np.atleast_1d(args[1]).tolist() if len(args) > 1
+            else attrs["axes"])  # opset>=13: input; <13: attribute
+    out = args[0]
+    for ax in sorted(int(a) for a in axes):
+        out = np.expand_dims(out, ax)
+    return out
+
+
+def _op_squeeze(args, attrs):
+    axes = (np.atleast_1d(args[1]).tolist() if len(args) > 1
+            else attrs.get("axes"))
+    if axes is None:
+        return np.squeeze(args[0])
+    return np.squeeze(args[0], axis=tuple(int(a) for a in axes))
+
+
+def _op_expand(args, attrs):
+    # ONNX Expand is bidirectional broadcast (shape entries may be 1)
+    shape = np.broadcast_shapes(args[0].shape,
+                                tuple(int(d) for d in args[1]))
+    return np.broadcast_to(args[0], shape)
+
+
+def _op_constant_of_shape(args, attrs):
+    val = attrs.get("value")
+    fill = (np.asarray(val).reshape(-1)[0] if val is not None
+            else np.float32(0))
+    shape = [int(d) for d in np.atleast_1d(np.asarray(args[0]))]
+    return np.full(shape, fill, dtype=fill.dtype)
+
+
+def _op_div(args, attrs):
+    a, b = args
+    if np.issubdtype(np.asarray(a).dtype, np.integer) and \
+            np.issubdtype(np.asarray(b).dtype, np.integer):
+        # ONNX integer Div truncates toward zero
+        return (np.sign(a) * np.sign(b) *
+                (np.abs(a) // np.abs(b))).astype(np.asarray(a).dtype)
+    return a / b
 
 
 _OPS = {
@@ -126,11 +218,38 @@ _OPS = {
     "Slice": _op_slice,
     "Reshape": lambda a, at: a[0].reshape([int(d) for d in a[1]]),
     "Transpose": lambda a, at: a[0].transpose(at["perm"]),
-    "Concat": lambda a, at: np.concatenate(a, axis=int(at["axis"])),
+    "Concat": lambda a, at: np.concatenate(
+        [np.atleast_1d(x) for x in a], axis=int(at["axis"])),
     "Sigmoid": lambda a, at: sigmoid(a[0]),
     "Exp": lambda a, at: np.exp(a[0]),
     "Add": lambda a, at: a[0] + a[1],
     "Sub": lambda a, at: a[0] - a[1],
     "Mul": lambda a, at: a[0] * a[1],
+    "Div": _op_div,
     "Identity": lambda a, at: a[0],
+    "Constant": lambda a, at: at["value"],
+    "Shape": lambda a, at: np.asarray(a[0].shape, np.int64),
+    "Gather": _op_gather,
+    "Unsqueeze": _op_unsqueeze,
+    "Squeeze": _op_squeeze,
+    "Cast": lambda a, at: np.asarray(a[0]).astype(_CAST_DTYPES[int(at["to"])]),
+    "Ceil": lambda a, at: np.ceil(a[0]),
+    "Floor": lambda a, at: np.floor(a[0]),
+    "Neg": lambda a, at: -a[0],
+    "Sqrt": lambda a, at: np.sqrt(a[0]),
+    "ConstantOfShape": _op_constant_of_shape,
+    "NonZero": lambda a, at: np.asarray(np.nonzero(a[0]), np.int64),
+    "Expand": _op_expand,
+    "Range": lambda a, at: np.arange(
+        np.asarray(a[0]).item(), np.asarray(a[1]).item(),
+        np.asarray(a[2]).item(), dtype=np.asarray(a[0]).dtype),
+    "Where": lambda a, at: np.where(a[0], a[1], a[2]),
+    "Equal": lambda a, at: a[0] == a[1],
+    "Relu": lambda a, at: np.maximum(a[0], 0),
+    "Softmax": lambda a, at: _softmax(a[0], int(at.get("axis", -1))),
 }
+
+
+def _softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
