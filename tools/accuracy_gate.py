@@ -36,9 +36,11 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-# Calibrated on-chip 2026-08-19: best mAP 0.337 @100 epochs (GATE_RESULTS
-# .jsonl). Floor = calibration - 0.08 margin.
-DEFAULT_FLOOR = 0.25
+# Floors = on-chip calibration (GATE_RESULTS.jsonl) minus ~0.08 margin:
+#   yolox_tiny : mAP 0.337 @100 epochs (2026-08-19, r4)
+#   yolov7_tiny: floor 0.0 = calibration pending (first measured run this
+#                round sets it; anchor-based family gate, VERDICT r4 #1b)
+DEFAULT_FLOORS = {"yolox_tiny": 0.25, "yolov7_tiny": 0.0}
 GATE_SIZE = 160
 GATE_SEED = 10
 
@@ -56,13 +58,21 @@ def ensure_dataset(root: pathlib.Path) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=100)
-    ap.add_argument("--floor", type=float,
-                    default=float(os.environ.get("GATE_FLOOR",
-                                                 DEFAULT_FLOOR)))
+    ap.add_argument("--model", default="yolox_tiny",
+                    choices=sorted(DEFAULT_FLOORS),
+                    help="which family to gate (yolov7_tiny gates the "
+                         "anchor-based OTA loss path)")
+    ap.add_argument("--floor", type=float, default=None,
+                    help="override the calibrated floor (0.0 = calibration "
+                         "run)")
     ap.add_argument("--root", default=os.path.expanduser(
         "~/.cache/pl_yolo_tpu_gate/shapes_hard_160"))
     ap.add_argument("--out", default="/tmp/accuracy_gate_run")
     args = ap.parse_args()
+    if args.floor is None:
+        env = os.environ.get("GATE_FLOOR")
+        args.floor = (float(env) if env is not None
+                      else DEFAULT_FLOORS[args.model])
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
     ensure_dataset(pathlib.Path(args.root))
@@ -80,8 +90,8 @@ def main():
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     model_cfg = validate_model_config(
-        load_config(repo / "pl_yolo_tpu/configs/model/yolox_tiny.yaml"),
-        "yolox_tiny.yaml")
+        load_config(repo / f"pl_yolo_tpu/configs/model/{args.model}.yaml"),
+        f"{args.model}.yaml")
     # scale the upstream 300-epoch recipe's 15 no-aug epochs to the gate
     model_cfg.setdefault("schedule", {})
     model_cfg["schedule"]["no_aug_epochs"] = max(4, args.epochs // 5)
@@ -98,13 +108,15 @@ def main():
     t0 = time.time()
     trainer = Trainer(model_cfg, data_cfg, max_epochs=args.epochs,
                       check_val_every_n_epoch=max(5, args.epochs // 4),
-                      output_dir=args.out, experiment_name="gate",
+                      output_dir=args.out,
+                      experiment_name=f"gate_{args.model}",
                       logger="csv", seed=96)
     trainer.fit()
     wall = time.time() - t0
 
     result = {
-        "ts": time.time(), "epochs": args.epochs, "size": GATE_SIZE,
+        "ts": time.time(), "model": args.model,
+        "epochs": args.epochs, "size": GATE_SIZE,
         "mAP": round(trainer.best_map, 4),
         "mAP50": round(trainer.best_map50, 4),
         "floor": args.floor, "wall_s": round(wall, 1),
