@@ -99,7 +99,10 @@ def main():
 
     out = pathlib.Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    cfg = load_config(args.config)
+    cfg = dict(load_config(args.config))
+    # the exported artifacts are fp32; the parity oracle must be the fp32
+    # jax forward, not the bf16 training compute dtype (reported separately)
+    train_dtype = cfg.pop("dtype", None)
     model = build_model(cfg, num_classes=args.num_classes)
     variables, step = restore_eval_variables(
         model, args.checkpoint, args.size,
@@ -116,6 +119,15 @@ def main():
     scale = float(np.abs(dev).max())
 
     results = {"ckpt_step": step, "oracle_scale": round(scale, 2)}
+
+    if train_dtype:  # informational: fp32 artifact vs bf16 device forward
+        bf16_model = build_model({**cfg, "dtype": train_dtype},
+                                 num_classes=args.num_classes)
+        bdev = np.asarray(bf16_model.loss.eval_decode(
+            bf16_model.module.apply(variables, jnp.asarray(img), False)),
+            np.float32)
+        results[f"device_{train_dtype}_vs_fp32_diff"] = float(
+            np.abs(bdev - dev).max())
 
     # ---- npz + pure-numpy runtime
     npz = str(out / "model.npz")
