@@ -289,7 +289,10 @@ def _yolox_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
             # loss: {assign_chunk: N} — label-axis-chunked SimOTA; identical
             # outputs, [chunk, A] peak temps (the HBM lever for batch >128)
             assign_chunk=(int(cfg["assign_chunk"])
-                          if cfg.get("assign_chunk") else None)),
+                          if cfg.get("assign_chunk") else None),
+            # loss: {pallas_assign: true} — fully-fused VMEM assignment
+            # kernel; ships OFF (see yolox.py NOTE + PERF.md measurements)
+            pallas_assign=bool(cfg.get("pallas_assign", False))),
         eval_decode=functools.partial(yolox_eval_decode, strides=strides),
         strides=strides,
     )

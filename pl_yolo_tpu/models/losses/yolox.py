@@ -353,6 +353,7 @@ def yolox_loss(
     strides: Sequence[int] = (8, 16, 32),
     use_l1: bool = False,
     assign_chunk: int | None = None,
+    pallas_assign: bool = False,
 ) -> dict[str, jax.Array]:
     """Training loss (yolox_loss.py:38-173): GIoU*5 + obj BCE + cls BCE (+L1),
     normalized by total foreground count across the batch."""
@@ -366,22 +367,36 @@ def yolox_loss(
     gt_classes = labels[..., 0].astype(jnp.int32)
     gt_boxes = labels[..., 1:5]
 
-    # NOTE: a fully-fused Pallas assignment exists
-    # (ops/pallas/simota_pallas.py: the whole [M, A] cost/top-k/matching
-    # pipeline per image in VMEM) and measures 15.7 ms standalone at
-    # B128/M100/A8400 — but IN the train step it regressed the bench
-    # 504.7 -> 298.6 img/s (the opaque custom call defeats XLA's
-    # overlap/fusion around the assignment). The jnp path with the Pallas
-    # top-k (ops/pallas/topk_pallas.py) stays the production path.
+    # NOTE on `pallas_assign` (loss: {pallas_assign: true}): the fully-
+    # fused Pallas assignment (ops/pallas/simota_pallas.py: the whole
+    # [M, A] cost/top-k/matching pipeline per image in VMEM) measures
+    # 15.7 ms standalone at B128/M100/A8400 — but IN the train step it
+    # regressed the bench 504.7 -> 298.6 img/s in r2 (the opaque custom
+    # call defeats XLA's overlap/fusion around the assignment). It ships
+    # OFF; tools/perf_fused_simota.py re-measures the A/B in the full
+    # step. The jnp path with the Pallas top-k (ops/pallas/topk_pallas.py)
+    # is the production path.
     sg = jax.lax.stop_gradient
-    assign = jax.vmap(
-        functools.partial(simota_assign, chunk=assign_chunk),
-        in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
-    )(
-        sg(gt_boxes), gt_classes, gt_valid, sg(bbox_preds),
-        sg(obj_logits), sg(cls_logits),
-        d.x_shifts, d.y_shifts, d.strides,
-    )
+    if pallas_assign:
+        from ...ops.pallas.simota_pallas import simota_assign_pallas
+        fg_p, matched_p, piou_p = simota_assign_pallas(
+            sg(gt_boxes), gt_classes, gt_valid, sg(bbox_preds),
+            sg(obj_logits), sg(cls_logits),
+            d.x_shifts, d.y_shifts, d.strides,
+            interpret=jax.default_backend() != "tpu")
+        assign = AssignOut(
+            fg_mask=fg_p, matched_gt=matched_p, pred_ious=piou_p,
+            num_fg=jnp.sum(fg_p, axis=1).astype(jnp.float32),
+            num_gt=jnp.sum(gt_valid, axis=1).astype(jnp.float32))
+    else:
+        assign = jax.vmap(
+            functools.partial(simota_assign, chunk=assign_chunk),
+            in_axes=(0, 0, 0, 0, 0, 0, None, None, None),
+        )(
+            sg(gt_boxes), gt_classes, gt_valid, sg(bbox_preds),
+            sg(obj_logits), sg(cls_logits),
+            d.x_shifts, d.y_shifts, d.strides,
+        )
 
     fg = assign.fg_mask.astype(jnp.float32)                   # [B, A]
     num_fgs = jnp.maximum(jnp.sum(assign.num_fg), 1.0)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pl_yolo_tpu.models.losses.yolox import simota_assign
 from pl_yolo_tpu.ops.pallas.simota_pallas import simota_assign_pallas
@@ -62,3 +63,34 @@ def test_simota_kernel_matches_jnp():
                                np.asarray(piou)[both], atol=1e-5)
     # foreground counts match to the tie-flip budget
     assert abs(fg_ref.sum() - fg_got.sum()) <= 2
+
+
+def test_loss_config_pallas_assign_parity():
+    """loss: {pallas_assign: true} (detector-level wiring of the fused
+    kernel, interpret mode on CPU) produces the identical loss dict to the
+    production jnp assignment."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_numpy_deploy import TINY
+
+    from pl_yolo_tpu.models.detector import build_model
+
+    cfg = dict(TINY)
+    cfg["loss"] = dict(cfg["loss"])
+    model_a = build_model(cfg, num_classes=3)
+    cfg_b = dict(cfg)
+    cfg_b["loss"] = dict(cfg["loss"], pallas_assign=True)
+    model_b = build_model(cfg_b, num_classes=3)
+
+    variables = model_a.init(jax.random.key(0), input_size=(64, 64))
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32))
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[0, 0] = [1, 32, 32, 24, 24]
+    labels[1, 0] = [2, 16, 48, 12, 20]
+    outs = model_a.module.apply(variables, img, False)
+    la = model_a.loss.train_loss(outs, jnp.asarray(labels))
+    lb = model_b.loss.train_loss(outs, jnp.asarray(labels))
+    for k in la:
+        assert float(la[k]) == pytest.approx(float(lb[k]), abs=1e-5), k
