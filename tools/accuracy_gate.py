@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--floor", type=float, default=None,
                     help="override the calibrated floor (0.0 = calibration "
                          "run)")
+    ap.add_argument("--autoanchor", action="store_true",
+                    help="k-means the anchor priors from the gate set's GT "
+                         "boxes (anchor-based models only): the shipped "
+                         "COCO-640 table leaves most levels unmatchable at "
+                         "160 px (utils/autoanchor.py)")
     ap.add_argument("--root", default=os.path.expanduser(
         "~/.cache/pl_yolo_tpu_gate/shapes_hard_160"))
     ap.add_argument("--out", default="/tmp/accuracy_gate_run")
@@ -96,6 +101,19 @@ def main():
     model_cfg.setdefault("schedule", {})
     model_cfg["schedule"]["no_aug_epochs"] = max(4, args.epochs // 5)
 
+    if args.autoanchor:
+        if "anchors" not in model_cfg.get("loss", {}):
+            ap.error(f"--autoanchor: {args.model} is anchor-free")
+        from pl_yolo_tpu.utils.autoanchor import dataset_anchors
+        anchors = dataset_anchors(
+            str(pathlib.Path(args.root) / "annotations/instances_train.json"),
+            n_levels=len(model_cfg["loss"]["anchors"]),
+            per_level=len(model_cfg["loss"]["anchors"][0]),
+            img_size=(GATE_SIZE, GATE_SIZE))
+        model_cfg["loss"]["anchors"] = [list(map(list, lvl))
+                                        for lvl in anchors]
+        print(f"autoanchor: {anchors}")
+
     data_cfg = validate_data_config(
         load_config(repo / "pl_yolo_tpu/configs/data/shapes_hard.yaml"),
         "shapes_hard.yaml")
@@ -122,6 +140,8 @@ def main():
         "floor": args.floor, "wall_s": round(wall, 1),
         "pass": trainer.best_map >= args.floor,
     }
+    if args.autoanchor:
+        result["autoanchor"] = True
     with open(repo / "GATE_RESULTS.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
     verdict = "PASS" if result["pass"] else "FAIL"
