@@ -371,11 +371,13 @@ def yolox_loss(
     # fused Pallas assignment (ops/pallas/simota_pallas.py: the whole
     # [M, A] cost/top-k/matching pipeline per image in VMEM) measures
     # 15.7 ms standalone at B128/M100/A8400 — but IN the train step it
-    # regressed the bench 504.7 -> 298.6 img/s in r2 (the opaque custom
-    # call defeats XLA's overlap/fusion around the assignment). It ships
-    # OFF; tools/perf_fused_simota.py re-measures the A/B in the full
-    # step. The jnp path with the Pallas top-k (ops/pallas/topk_pallas.py)
-    # is the production path.
+    # regressed the bench 504.7 -> 298.6 img/s in r2, and the r5 revisit
+    # under the tuned scoped-vmem + latency-hiding flags reproduced it
+    # exactly (520.5 -> 297.7 img/s median of 3 interleaved trials,
+    # tools/perf_fused_simota.py): the opaque custom call serializes
+    # against the conv backward regardless of in-kernel pipelining. It
+    # ships OFF (PERF.md round-5 section). The jnp path with the Pallas
+    # top-k (ops/pallas/topk_pallas.py) is the production path.
     sg = jax.lax.stop_gradient
     if pallas_assign:
         from ...ops.pallas.simota_pallas import simota_assign_pallas
