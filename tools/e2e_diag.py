@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--images", type=int, default=512)
+    ap.add_argument("--depths", type=int, nargs="*", default=None,
+                    help="run ONLY the threaded-prefetch stage at these "
+                         "queue depths (A/B for how many in-flight h2d "
+                         "puts the tunnel pipelines); skips stages a-d/f")
     args = ap.parse_args()
     B, S = args.batch, args.size
 
@@ -98,6 +102,33 @@ def main():
     state, losses = step(state, imgs, labs, jax.random.key(0))
     _ = float(losses["loss"])
 
+    def timed_pipeline(threaded, depth=2):
+        nonlocal state
+        ld = TrainLoader(ds, B, num_workers=0)
+        batches = device_prefetch(ld, put, depth=depth, threaded=threaded)
+        im, la = next(batches)
+        state, losses = step(state, im, la, jax.random.key(90))
+        _ = float(losses["loss"])
+        ts = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            im, la = next(batches)
+            state, losses = step(state, im, la, jax.random.key(100 + i))
+            _ = float(losses["loss"])
+            ts.append(time.perf_counter() - t0)
+        ld.close()
+        return ts
+
+    if args.depths:
+        loader.close()
+        for d in args.depths:
+            ts = timed_pipeline(True, depth=d)
+            out[f"e_threaded_depth{d}_s"] = [round(t, 3) for t in ts]
+            out[f"e_threaded_depth{d}_ips"] = round(
+                B * args.iters / sum(ts), 2)
+        print(json.dumps(out))
+        return
+
     # a) device step only (resident arrays)
     ts = []
     for i in range(args.iters):
@@ -143,23 +174,6 @@ def main():
     loader.close()
 
     # e) production path: device_prefetch threaded=True
-    def timed_pipeline(threaded):
-        nonlocal state
-        ld = TrainLoader(ds, B, num_workers=0)
-        batches = device_prefetch(ld, put, threaded=threaded)
-        im, la = next(batches)
-        state, losses = step(state, im, la, jax.random.key(90))
-        _ = float(losses["loss"])
-        ts = []
-        for i in range(args.iters):
-            t0 = time.perf_counter()
-            im, la = next(batches)
-            state, losses = step(state, im, la, jax.random.key(100 + i))
-            _ = float(losses["loss"])
-            ts.append(time.perf_counter() - t0)
-        ld.close()
-        return ts
-
     ts = timed_pipeline(True)
     out["e_prefetch_threaded_s"] = [round(t, 3) for t in ts]
     out["e_prefetch_threaded_ips"] = round(B * args.iters / sum(ts), 2)
