@@ -36,11 +36,14 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-# Floors = on-chip calibration (GATE_RESULTS.jsonl) minus ~0.08 margin:
-#   yolox_tiny : mAP 0.337 @100 epochs (2026-08-19, r4)
-#   yolov7_tiny: floor 0.0 = calibration pending (first measured run this
-#                round sets it; anchor-based family gate, VERDICT r4 #1b)
-DEFAULT_FLOORS = {"yolox_tiny": 0.25, "yolov7_tiny": 0.0}
+# Floors = on-chip calibration (GATE_RESULTS.jsonl) minus margin:
+#   yolox_tiny : mAP 0.337 @100 epochs (2026-08-19, r4) -> floor 0.25
+#   yolov7_tiny: anchor-based OTA family gate (VERDICT r4 #1b). The shipped
+#                COCO-640 anchor table leaves most 160-px GT unmatchable
+#                (first calibration 0.043); gate with --autoanchor.
+#   yolov5_s   : anchor-based v5-assigner family gate; same --autoanchor
+#                note applies. Floors set from GATE_RESULTS.jsonl entries.
+DEFAULT_FLOORS = {"yolox_tiny": 0.25, "yolov7_tiny": 0.0, "yolov5_s": 0.0}
 GATE_SIZE = 160
 GATE_SEED = 10
 
