@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from pl_yolo_tpu.models.losses.yolov5 import yolov5_loss
-from pl_yolo_tpu.models.losses.yolov7 import yolov7_loss
+from pl_yolo_tpu.models.losses.yolov7 import yolov7_eval_decode, yolov7_loss
 
 REF_ROOT = "/root/reference"
 
@@ -126,6 +126,25 @@ def test_yolov7_loss_matches_reference(ref_losses, seed):
     np.testing.assert_allclose(jax_val, ref_val, rtol=2e-4)
     for jg, rg in zip(jax_grads, ref_grads):
         np.testing.assert_allclose(jg, rg, rtol=2e-3, atol=2e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_yolov7_eval_decode_matches_reference(ref_losses, seed):
+    """Eval branch (yolov7_loss.py:50-78): decoded xyxy + sigmoid probs.
+    The same math serves the v5 decoder (yolov5_decoder.py:24-52)."""
+    ref_v7, _ = ref_losses
+    nhwc, labels = _rand_case(seed)
+
+    m = ref_v7.YOLOv7Loss(num_classes=C, strides=list(STRIDES),
+                          anchors=[list(map(list, a)) for a in ANCHORS])
+    m.eval()
+    with torch.no_grad():
+        ref = m([torch.tensor(x.transpose(0, 3, 1, 2)) for x in nhwc],
+                torch.tensor(labels)).numpy()
+
+    ours = np.asarray(yolov7_eval_decode(
+        [jnp.asarray(x) for x in nhwc], STRIDES, ANCHORS, C))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
