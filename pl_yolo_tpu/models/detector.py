@@ -311,7 +311,8 @@ def _yolov7_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
         train_loss=functools.partial(
             yolov7_loss, num_classes=num_classes, strides=strides,
             anchors=anchors,
-            label_smoothing=float(cfg.get("label_smoothing", 0.0))),
+            label_smoothing=float(cfg.get("label_smoothing", 0.0)),
+            balance=tuple(cfg.get("balance", (0.4, 1.0, 4.0)))),
         eval_decode=functools.partial(
             yolov7_eval_decode, strides=strides, anchors=anchors,
             num_classes=num_classes),

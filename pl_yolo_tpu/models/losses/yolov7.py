@@ -225,9 +225,16 @@ def yolov7_loss(
              ((36, 75), (76, 55), (72, 146)),
              ((142, 110), (192, 243), (459, 401))),
     label_smoothing: float = 0.0,
+    balance: Sequence[float] = (0.4, 1.0, 4.0),
 ) -> dict[str, jax.Array]:
-    """Training loss (yolov7_loss.py:80-153), fully batched."""
-    balance = (0.4, 1.0, 4.0)
+    """Training loss (yolov7_loss.py:80-153), fully batched.
+
+    `balance` defaults to the reference's per-level obj weights
+    (yolov7_loss.py:26) which put 4.0 on the stride-32 level; upstream
+    ultralytics uses the REVERSE order (4.0 on stride-8, where small
+    objects live). Config key `loss: {balance: [...]}` exposes the choice;
+    the v5 loss ships the ultralytics order.
+    """
     box_ratio = 0.05
     obj_ratio = 1.0
     cls_ratio = 0.5 * (num_classes / 80.0)
