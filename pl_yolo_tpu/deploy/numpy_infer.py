@@ -274,11 +274,188 @@ def eval_decode(outputs, strides):
     return np.concatenate([boxes, sigmoid(p[..., 4:])], axis=-1)
 
 
+# ------------------------------------------------- yolov7 family (anchor)
+
+def max_pool2(x):
+    """2x2 stride-2 VALID pool (backbones/eelan.py max_pool_stride2)."""
+    b, h, w, c = x.shape
+    return x[:, :h - h % 2, :w - w % 2, :].reshape(
+        b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def _elan_block(p, s, x, num_bottle):
+    """ELANBlock (models/backbones/eelan.py): 4-branch aggregation."""
+    num_conv = num_bottle // 2 if num_bottle > 2 else 1
+    x1 = _conv_block(*_sub(p, s, "conv1"))(x)
+    x2 = _conv_block(*_sub(p, s, "conv2"))(x)
+    x3 = x2
+    for i in range(num_conv):
+        x3 = _conv_block(*_sub(p, s, f"conv3_{i}"))(x3)
+    x4 = x3
+    for i in range(num_conv):
+        x4 = _conv_block(*_sub(p, s, f"conv4_{i}"))(x4)
+    return _conv_block(*_sub(p, s, "conv5"))(
+        np.concatenate([x1, x2, x3, x4], axis=-1))
+
+
+def _transition(p, s, x):
+    """Transition / V7Transition: maxpool+1x1 || 1x1+3x3s2, concat [x2, x1]."""
+    x1 = _conv_block(*_sub(p, s, "conv1"))(max_pool2(x))
+    x2 = _conv_block(*_sub(p, s, "conv2"))(x)
+    x2 = _conv_block(*_sub(p, s, "conv3"))(x2, stride=2)
+    return np.concatenate([x2, x1], axis=-1)
+
+
+def _sppcspc(p, s, x, kernel_sizes=(5, 9, 13)):
+    """SPPCSPC (layers/blocks.py:425-446)."""
+    x1 = _conv_block(*_sub(p, s, "cv1"))(x)
+    x1 = _conv_block(*_sub(p, s, "cv3"))(x1)
+    x1 = _conv_block(*_sub(p, s, "cv4"))(x1)
+    pools = [max_pool_same(x1, k) for k in kernel_sizes]
+    y1 = _conv_block(*_sub(p, s, "cv5"))(
+        np.concatenate([x1] + pools, axis=-1))
+    y1 = _conv_block(*_sub(p, s, "cv6"))(y1)
+    y2 = _conv_block(*_sub(p, s, "cv2"))(x)
+    return _conv_block(*_sub(p, s, "cv7"))(
+        np.concatenate([y1, y2], axis=-1))
+
+
+def _v7_csp_layer(p, s, x, num_bottle):
+    """V7CSPLayer (models/necks/yolov7_neck.py)."""
+    x1 = _conv_block(*_sub(p, s, "conv1"))(x)
+    x2 = _conv_block(*_sub(p, s, "conv2"))(x)
+    x3 = _conv_block(*_sub(p, s, "conv3"))(x2)
+    parts = [x1, x2, x3]
+    for i in range(num_bottle):
+        x3 = _conv_block(*_sub(p, s, f"conv4_{i}"))(x3)
+        parts.append(x3)
+    return _conv_block(*_sub(p, s, "conv5"))(
+        np.concatenate(parts, axis=-1))
+
+
+def _out_conv(p, s, name, x):
+    """Neck output conv: plain ConvBlock, or a RepConv collapsed to one
+    biased 3x3 + silu (utils/fuse.py::fuse_repconv in numpy)."""
+    pn, sn = _sub(p, s, name)
+    if "rbr_dense_conv" not in pn:
+        return _conv_block(pn, sn)(x)
+    k3, b3 = fuse_conv_bn(
+        pn["rbr_dense_conv"]["kernel"],
+        pn["rbr_dense_bn"]["scale"], pn["rbr_dense_bn"]["bias"],
+        sn["rbr_dense_bn"]["mean"], sn["rbr_dense_bn"]["var"])
+    k1, b1 = fuse_conv_bn(
+        pn["rbr_1x1_conv"]["kernel"],
+        pn["rbr_1x1_bn"]["scale"], pn["rbr_1x1_bn"]["bias"],
+        sn["rbr_1x1_bn"]["mean"], sn["rbr_1x1_bn"]["var"])
+    kernel = k3 + np.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    bias = b3 + b1
+    if "rbr_identity" in pn:
+        cin = kernel.shape[2]
+        ident = np.zeros_like(k3)
+        ident[1, 1, np.arange(cin), np.arange(cin)] = 1.0
+        ki, bi = fuse_conv_bn(
+            ident, pn["rbr_identity"]["scale"], pn["rbr_identity"]["bias"],
+            sn["rbr_identity"]["mean"], sn["rbr_identity"]["var"])
+        kernel = kernel + ki
+        bias = bias + bi
+    return silu(conv2d(x, kernel, bias))
+
+
+def v7_backbone_forward(p, s, x, depths, outputs):
+    """EELAN (models/backbones/eelan.py) in numpy."""
+    feats = {}
+    x = _conv_block(*_sub(p, s, "stem0"))(x)
+    x = _conv_block(*_sub(p, s, "stem1"))(x, stride=2)
+    x = _conv_block(*_sub(p, s, "stem2"))(x)
+    feats["stem"] = x
+    x = _conv_block(*_sub(p, s, "stage1_down"))(x, stride=2)
+    x = _elan_block(*_sub(p, s, "stage1_elan"), x, depths[0])
+    feats["stage1"] = x
+    for i in (2, 3, 4):
+        x = _transition(*_sub(p, s, f"stage{i}_trans"), x)
+        if i == 4:
+            x = _spp(*_sub(p, s, "stage4_spp"), x)
+        x = _elan_block(*_sub(p, s, f"stage{i}_elan"), x, depths[i - 1])
+        feats[f"stage{i}"] = x
+    return [feats[k] for k in outputs]
+
+
+def v7_neck_forward(p, s, inputs, depths):
+    """YOLOv7NECK (models/necks/yolov7_neck.py) in numpy."""
+    c3, c4, c5 = inputs
+    d = depths[0]
+    p5 = _sppcspc(*_sub(p, s, "spp"), c5)
+    p5_shrink = _conv_block(*_sub(p, s, "conv_for_P5"))(p5)
+    c4p = _conv_block(*_sub(p, s, "conv_for_C4"))(c4)
+    p4 = np.concatenate([upsample_nearest_2x(p5_shrink), c4p], axis=-1)
+    p4 = _v7_csp_layer(*_sub(p, s, "p5_p4"), p4, d)
+    p4_shrink = _conv_block(*_sub(p, s, "conv_for_P4"))(p4)
+    c3p = _conv_block(*_sub(p, s, "conv_for_C3"))(c3)
+    p3 = np.concatenate([upsample_nearest_2x(p4_shrink), c3p], axis=-1)
+    p3 = _v7_csp_layer(*_sub(p, s, "p4_p3"), p3, d)
+    n3 = p3
+    n3_down = _transition(*_sub(p, s, "downsample_conv1"), n3)
+    n4 = _v7_csp_layer(*_sub(p, s, "n3_n4"),
+                       np.concatenate([n3_down, p4], axis=-1), d)
+    n4_down = _transition(*_sub(p, s, "downsample_conv2"), n4)
+    n5 = _v7_csp_layer(*_sub(p, s, "n4_n5"),
+                       np.concatenate([n4_down, p5], axis=-1), d)
+    return (_out_conv(p, s, "n3_out", n3),
+            _out_conv(p, s, "n4_out", n4),
+            _out_conv(p, s, "n5_out", n5))
+
+
+def v7_head_forward(p, s, inputs):
+    """ImplicitHead (models/heads/implicit_head.py) in numpy."""
+    outs = []
+    for k, x in enumerate(inputs):
+        x = x + p[f"ia{k}"]
+        x = conv2d(x, p[f"conv{k}"]["kernel"], p[f"conv{k}"]["bias"])
+        outs.append(x * p[f"im{k}"])
+    return outs
+
+
+def v7_eval_decode(outputs, strides, anchors):
+    """yolov7_eval_decode (models/losses/yolov7.py) in numpy: per-level
+    [B,H,W,na*(5+C)] -> [B, A, 5+C] xyxy + sigmoid probs, rows level-major
+    then anchor-major then row-major."""
+    na = len(anchors[0])
+    preds = []
+    for level, stride, anc in zip(outputs, strides, anchors):
+        b, h, w, c = level.shape
+        ch = c // na
+        flat = sigmoid(level.reshape(b, h, w, na, ch).transpose(0, 3, 1, 2, 4)
+                       .reshape(b, na * h * w, ch).astype(np.float32))
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        cell = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+        grid = np.tile(cell, (na, 1))[None]
+        anc_px = np.repeat(np.asarray(anc, np.float32), h * w, axis=0)[None]
+        xy = (flat[..., :2] * 2.0 - 0.5 + grid) * stride
+        wh = (flat[..., 2:4] * 2.0) ** 2 * anc_px
+        preds.append(np.concatenate([xy, wh, flat[..., 4:]], axis=-1))
+    p = np.concatenate(preds, axis=1)
+    boxes = np.concatenate([p[..., :2] - p[..., 2:4] / 2,
+                            p[..., :2] + p[..., 2:4] / 2], axis=-1)
+    return np.concatenate([boxes, p[..., 4:]], axis=-1)
+
+
 def forward(params, stats, images, meta):
     """Full eval forward: images NHWC float32 (0-255 pixel scale, matching
-    the jax eval path) -> decoded [B, A, 5+C]."""
+    the jax eval path) -> decoded [B, A, 5+C]. Dispatches on meta family
+    ('yolox' anchor-free | 'yolov7' anchor-based)."""
+    x = np.asarray(images, np.float32)
+    if meta.get("family", "yolox") == "yolov7":
+        feats = v7_backbone_forward(
+            params["backbone"], stats.get("backbone", {}), x,
+            depths=meta["backbone_depths"],
+            outputs=meta["backbone_outputs"])
+        feats = v7_neck_forward(params["neck"], stats.get("neck", {}),
+                                feats, depths=meta["neck_depths"])
+        outs = v7_head_forward(params["head"], stats.get("head", {}), feats)
+        return v7_eval_decode(outs, meta["strides"], meta["anchors"])
     feats = backbone_forward(params["backbone"], stats.get("backbone", {}),
-                             np.asarray(images, np.float32),
+                             x,
                              depths=meta["backbone_depths"],
                              outputs=meta["backbone_outputs"],
                              depthwise=meta.get("backbone_depthwise", False))

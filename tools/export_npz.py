@@ -44,13 +44,19 @@ def flatten(tree, prefix):
 def export_npz(model_cfg: dict, variables: dict, out_path: str,
                num_classes: int) -> dict:
     """Write the npz artifact; returns the meta record."""
-    if model_cfg["backbone"]["name"] != "cspdarknet" or \
-            model_cfg["neck"]["name"] != "csppafpn" or \
-            model_cfg["head"]["name"] != "decoupled_head":
-        raise SystemExit("npz deploy covers the YOLOX family "
-                         "(cspdarknet + csppafpn + decoupled_head)")
+    names = (model_cfg["backbone"]["name"], model_cfg["neck"]["name"],
+             model_cfg["head"]["name"])
+    if names == ("cspdarknet", "csppafpn", "decoupled_head"):
+        family = "yolox"
+    elif names == ("eelan", "yolov7neck", "implicit_head"):
+        family = "yolov7"
+    else:
+        raise SystemExit(
+            "npz deploy covers the YOLOX family (cspdarknet + csppafpn + "
+            "decoupled_head) and the YOLOv7 family (eelan + yolov7neck + "
+            f"implicit_head); got {names}")
     meta = {
-        "family": "yolox",
+        "family": family,
         "num_classes": num_classes,
         "backbone_depths": list(model_cfg["backbone"].get(
             "depths", [3, 9, 9, 3])),
@@ -65,6 +71,12 @@ def export_npz(model_cfg: dict, variables: dict, out_path: str,
             "stride", [8, 16, 32])),
         "layout": "NHWC, kernels HWIO, pixels 0-255 float32",
     }
+    if family == "yolov7":
+        from pl_yolo_tpu.models.detector import DEFAULT_V7_ANCHORS
+        meta["anchors"] = [[list(a) for a in lvl] for lvl in
+                           model_cfg["loss"].get("anchors",
+                                                 DEFAULT_V7_ANCHORS)]
+        meta["num_anchor"] = int(model_cfg["head"].get("num_anchor", 3))
     arrays = flatten(variables["params"], "params")
     arrays.update(flatten(variables.get("batch_stats", {}), "batch_stats"))
     arrays["__meta__"] = np.asarray(json.dumps(meta))
