@@ -333,12 +333,9 @@ def _v7_csp_layer(p, s, x, num_bottle):
         np.concatenate(parts, axis=-1))
 
 
-def _out_conv(p, s, name, x):
-    """Neck output conv: plain ConvBlock, or a RepConv collapsed to one
-    biased 3x3 + silu (utils/fuse.py::fuse_repconv in numpy)."""
-    pn, sn = _sub(p, s, name)
-    if "rbr_dense_conv" not in pn:
-        return _conv_block(pn, sn)(x)
+def repconv_kernel_bias(pn, sn):
+    """Collapse a RepConv subtree into one biased 3x3 HWIO kernel
+    (utils/fuse.py::fuse_repconv in numpy)."""
     k3, b3 = fuse_conv_bn(
         pn["rbr_dense_conv"]["kernel"],
         pn["rbr_dense_bn"]["scale"], pn["rbr_dense_bn"]["bias"],
@@ -358,6 +355,16 @@ def _out_conv(p, s, name, x):
             sn["rbr_identity"]["mean"], sn["rbr_identity"]["var"])
         kernel = kernel + ki
         bias = bias + bi
+    return kernel, bias
+
+
+def _out_conv(p, s, name, x):
+    """Neck output conv: plain ConvBlock, or a RepConv collapsed to one
+    biased 3x3 + silu."""
+    pn, sn = _sub(p, s, name)
+    if "rbr_dense_conv" not in pn:
+        return _conv_block(pn, sn)(x)
+    kernel, bias = repconv_kernel_bias(pn, sn)
     return silu(conv2d(x, kernel, bias))
 
 

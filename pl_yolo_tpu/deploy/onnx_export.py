@@ -149,8 +149,8 @@ def _slice(g, x, start, end, axis):
         g.init("ax", np.array([axis], np.int64))])
 
 
-def export_onnx(params, stats, meta, batch: int, size: int) -> bytes:
-    """Returns serialized ModelProto bytes for a [batch,3,size,size] input."""
+def _export_yolox(params, stats, meta, batch: int, size: int) -> bytes:
+    """YOLOX graph (cspdarknet + csppafpn + decoupled head + exp decode)."""
     g = GraphBuilder()
     num_classes = int(meta["num_classes"])
     depths = meta["backbone_depths"]
@@ -252,3 +252,184 @@ def export_onnx(params, stats, meta, batch: int, size: int) -> bytes:
                                [batch, n_anchors, 5 + num_classes])],
         initializers=g.initializers)
     return ow.model(gr, opset=13)
+
+
+# ------------------------------------------------- yolov7 family builders
+
+def _elan(g, p, s, x, num_bottle):
+    num_conv = num_bottle // 2 if num_bottle > 2 else 1
+    x1 = _conv_block(g, *_sub(p, s, "conv1"), x)
+    x2 = _conv_block(g, *_sub(p, s, "conv2"), x)
+    x3 = x2
+    for i in range(num_conv):
+        x3 = _conv_block(g, *_sub(p, s, f"conv3_{i}"), x3)
+    x4 = x3
+    for i in range(num_conv):
+        x4 = _conv_block(g, *_sub(p, s, f"conv4_{i}"), x4)
+    cat = g.add("Concat", [x1, x2, x3, x4], axis=1)
+    return _conv_block(g, *_sub(p, s, "conv5"), cat)
+
+
+def _v7_transition(g, p, s, x):
+    pool = g.add("MaxPool", [x], kernel_shape=[2, 2], strides=[2, 2],
+                 pads=[0, 0, 0, 0])
+    x1 = _conv_block(g, *_sub(p, s, "conv1"), pool)
+    x2 = _conv_block(g, *_sub(p, s, "conv2"), x)
+    x2 = _conv_block(g, *_sub(p, s, "conv3"), x2, stride=2)
+    return g.add("Concat", [x2, x1], axis=1)
+
+
+def _sppcspc_onnx(g, p, s, x, ksizes=(5, 9, 13)):
+    x1 = _conv_block(g, *_sub(p, s, "cv1"), x)
+    x1 = _conv_block(g, *_sub(p, s, "cv3"), x1)
+    x1 = _conv_block(g, *_sub(p, s, "cv4"), x1)
+    pools = [g.add("MaxPool", [x1], kernel_shape=[k, k], strides=[1, 1],
+                   pads=[k // 2] * 4) for k in ksizes]
+    y1 = g.add("Concat", [x1] + pools, axis=1)
+    y1 = _conv_block(g, *_sub(p, s, "cv5"), y1)
+    y1 = _conv_block(g, *_sub(p, s, "cv6"), y1)
+    y2 = _conv_block(g, *_sub(p, s, "cv2"), x)
+    cat = g.add("Concat", [y1, y2], axis=1)
+    return _conv_block(g, *_sub(p, s, "cv7"), cat)
+
+
+def _v7_csp(g, p, s, x, num_bottle):
+    x1 = _conv_block(g, *_sub(p, s, "conv1"), x)
+    x2 = _conv_block(g, *_sub(p, s, "conv2"), x)
+    x3 = _conv_block(g, *_sub(p, s, "conv3"), x2)
+    parts = [x1, x2, x3]
+    for i in range(num_bottle):
+        x3 = _conv_block(g, *_sub(p, s, f"conv4_{i}"), x3)
+        parts.append(x3)
+    cat = g.add("Concat", parts, axis=1)
+    return _conv_block(g, *_sub(p, s, "conv5"), cat)
+
+
+def _v7_out_conv(g, p, s, name, x):
+    from .numpy_infer import repconv_kernel_bias
+    pn, sn = _sub(p, s, name)
+    if "rbr_dense_conv" in pn:
+        kernel, bias = repconv_kernel_bias(pn, sn)
+        return _conv(g, x, kernel, bias)
+    return _conv_block(g, pn, sn, x)
+
+
+def _export_yolov7(params, stats, meta, batch: int, size: int) -> bytes:
+    """YOLOv7 graph: eelan + yolov7neck (SPPCSPC / Transitions / RepConv
+    fused) + implicit head + anchor decode
+    (models/losses/yolov7.py::yolov7_eval_decode)."""
+    g = GraphBuilder()
+    num_classes = int(meta["num_classes"])
+    depths = meta["backbone_depths"]
+    neck_depth = meta["neck_depths"][0]
+    strides = meta["strides"]
+    anchors = meta["anchors"]
+    na = int(meta.get("num_anchor", len(anchors[0])))
+    ch = 5 + num_classes
+
+    pb, sb = params["backbone"], stats.get("backbone", {})
+    x = _conv_block(g, *_sub(pb, sb, "stem0"), "images")
+    x = _conv_block(g, *_sub(pb, sb, "stem1"), x, stride=2)
+    x = _conv_block(g, *_sub(pb, sb, "stem2"), x)
+    feats = {"stem": x}
+    res = size // 2
+    x = _conv_block(g, *_sub(pb, sb, "stage1_down"), x, stride=2)
+    res //= 2
+    x = _elan(g, *_sub(pb, sb, "stage1_elan"), x, depths[0])
+    feats["stage1"] = x
+    for i in (2, 3, 4):
+        x = _v7_transition(g, *_sub(pb, sb, f"stage{i}_trans"), x)
+        res //= 2
+        if i == 4:
+            x = _spp(g, *_sub(pb, sb, "stage4_spp"), x)
+        x = _elan(g, *_sub(pb, sb, f"stage{i}_elan"), x, depths[i - 1])
+        feats[f"stage{i}"] = x
+    c3, c4, c5 = [feats[k] for k in meta["backbone_outputs"]]
+
+    pn, sn = params["neck"], stats.get("neck", {})
+    p5 = _sppcspc_onnx(g, *_sub(pn, sn, "spp"), c5)
+    p5_shrink = _conv_block(g, *_sub(pn, sn, "conv_for_P5"), p5)
+    c4p = _conv_block(g, *_sub(pn, sn, "conv_for_C4"), c4)
+    p4 = g.add("Concat", [_upsample2x(g, p5_shrink), c4p], axis=1)
+    p4 = _v7_csp(g, *_sub(pn, sn, "p5_p4"), p4, neck_depth)
+    p4_shrink = _conv_block(g, *_sub(pn, sn, "conv_for_P4"), p4)
+    c3p = _conv_block(g, *_sub(pn, sn, "conv_for_C3"), c3)
+    p3 = g.add("Concat", [_upsample2x(g, p4_shrink), c3p], axis=1)
+    p3 = _v7_csp(g, *_sub(pn, sn, "p4_p3"), p3, neck_depth)
+    n3 = p3
+    n3_down = _v7_transition(g, *_sub(pn, sn, "downsample_conv1"), n3)
+    n4 = g.add("Concat", [n3_down, p4], axis=1)
+    n4 = _v7_csp(g, *_sub(pn, sn, "n3_n4"), n4, neck_depth)
+    n4_down = _v7_transition(g, *_sub(pn, sn, "downsample_conv2"), n4)
+    n5 = g.add("Concat", [n4_down, p5], axis=1)
+    n5 = _v7_csp(g, *_sub(pn, sn, "n4_n5"), n5, neck_depth)
+    levels = [_v7_out_conv(g, pn, sn, f"n{k}_out", f)
+              for k, f in [(3, n3), (4, n4), (5, n5)]]
+
+    ph = params["head"]
+    level_preds = []
+    for k, feat in enumerate(levels):
+        ia = np.ascontiguousarray(
+            np.asarray(ph[f"ia{k}"], np.float32).transpose(0, 3, 1, 2))
+        x = g.add("Add", [feat, g.init("ia", ia)])
+        x = _conv(g, x, ph[f"conv{k}"]["kernel"], ph[f"conv{k}"]["bias"],
+                  act=None)
+        im = np.ascontiguousarray(
+            np.asarray(ph[f"im{k}"], np.float32).transpose(0, 3, 1, 2))
+        x = g.add("Mul", [x, g.init("im", im)])
+
+        # decode this level (yolov7_eval_decode): [B, na*ch, h, w] ->
+        # [B, na*hw, ch] rows anchor-major then row-major, all sigmoid'ed
+        h = w = size // strides[k]
+        hw = h * w
+        r1 = g.add("Reshape", [x, g.init("shape", np.array(
+            [batch, na, ch, hw], np.int64))])
+        tr = g.add("Transpose", [r1], perm=[0, 1, 3, 2])
+        flat = g.add("Reshape", [tr, g.init("shape", np.array(
+            [batch, na * hw, ch], np.int64))])
+        flat = g.add("Sigmoid", [flat])
+
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        cell = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+        grid = np.tile(cell, (na, 1))[None]                  # [1, na*hw, 2]
+        anc = np.repeat(np.asarray(anchors[k], np.float32),
+                        hw, axis=0)[None]                    # [1, na*hw, 2]
+        two = g.init("two", np.float32(2.0).reshape(()))
+        xy = g.add("Mul", [_slice(g, flat, 0, 2, 2), two])
+        xy = g.add("Add", [xy, g.init("grid_m_half",
+                                      (grid - 0.5).astype(np.float32))])
+        xy = g.add("Mul", [xy, g.init(
+            "stride", np.float32(strides[k]).reshape(()))])
+        wh = g.add("Mul", [_slice(g, flat, 2, 4, 2), two])
+        wh = g.add("Mul", [wh, wh])
+        wh = g.add("Mul", [wh, g.init("anc", anc)])
+        rest = _slice(g, flat, 4, ch, 2)
+        level_preds.append(g.add("Concat", [xy, wh, rest], axis=2))
+
+    p = g.add("Concat", level_preds, axis=1)
+    cxy = _slice(g, p, 0, 2, 2)
+    wh = _slice(g, p, 2, 4, 2)
+    half = g.add("Mul", [wh, g.init("half", np.float32(0.5).reshape(()))])
+    x1y1 = g.add("Sub", [cxy, half])
+    x2y2 = g.add("Add", [cxy, half])
+    rest = _slice(g, p, 4, ch, 2)
+    final = g.add("Concat", [x1y1, x2y2, rest], axis=2)
+    g.nodes.append(ow.node("Identity", [final], ["predictions"]))
+
+    n_rows = sum(na * (size // s) ** 2 for s in strides)
+    gr = ow.graph(
+        g.nodes, "pl_yolo_tpu_yolov7",
+        inputs=[ow.value_info("images", ow.FLOAT, [batch, 3, size, size])],
+        outputs=[ow.value_info("predictions", ow.FLOAT,
+                               [batch, n_rows, ch])],
+        initializers=g.initializers)
+    return ow.model(gr, opset=13)
+
+
+def export_onnx(params, stats, meta, batch: int, size: int) -> bytes:
+    """Serialized ModelProto bytes for a [batch,3,size,size] input.
+    Dispatches on the npz meta family (yolox | yolov7)."""
+    if meta.get("family", "yolox") == "yolov7":
+        return _export_yolov7(params, stats, meta, batch, size)
+    return _export_yolox(params, stats, meta, batch, size)

@@ -123,12 +123,20 @@ def _op_conv(args, attrs):
 
 def _op_maxpool(args, attrs):
     k = int(attrs["kernel_shape"][0])
-    assert attrs.get("strides", [1, 1])[0] == 1 and \
-        int(attrs.get("pads", [0] * 4)[0]) == k // 2, "SAME s1 pools only"
+    stride = int(attrs.get("strides", [1, 1])[0])
+    pad = int(attrs.get("pads", [0] * 4)[0])
     assert all(int(d) == 1 for d in attrs.get("dilations", [1, 1]))
     assert int(attrs.get("ceil_mode", 0)) == 0
     x = args[0].transpose(0, 2, 3, 1)
-    return np.ascontiguousarray(max_pool_same(x, k).transpose(0, 3, 1, 2))
+    if stride == 1 and pad == k // 2:          # SAME s1 (SPP pyramids)
+        y = max_pool_same(x, k)
+    elif stride == 2 and pad == 0 and k == 2:  # VALID 2x2 s2 (v7 Transition)
+        from .numpy_infer import max_pool2
+        y = max_pool2(x)
+    else:
+        raise AssertionError(
+            f"unsupported MaxPool k={k} s={stride} pad={pad}")
+    return np.ascontiguousarray(y.transpose(0, 3, 1, 2))
 
 
 def _op_resize(args, attrs):

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .numpy_infer import fuse_conv_bn
+from .numpy_infer import fuse_conv_bn, repconv_kernel_bias
 
 
 def _t(torch, arr):
@@ -220,7 +220,196 @@ def build_torch_model(params, stats, meta):
                                p[..., :2] + p[..., 2:4] / 2], -1)
             return torch.cat([boxes, torch.sigmoid(p[..., 4:])], -1)
 
-    m = Model()
+    # ------------------------------------------- yolov7 family (anchor)
+
+    class ELAN(nn.Module):
+        def __init__(self, p, s, num_bottle):
+            super().__init__()
+            n = num_bottle // 2 if num_bottle > 2 else 1
+            self.c1 = ConvBlock(*sub(p, s, "conv1"))
+            self.c2 = ConvBlock(*sub(p, s, "conv2"))
+            self.b3 = nn.Sequential(*[ConvBlock(*sub(p, s, f"conv3_{i}"))
+                                      for i in range(n)])
+            self.b4 = nn.Sequential(*[ConvBlock(*sub(p, s, f"conv4_{i}"))
+                                      for i in range(n)])
+            self.c5 = ConvBlock(*sub(p, s, "conv5"))
+
+        def forward(self, x):
+            x1, x2 = self.c1(x), self.c2(x)
+            x3 = self.b3(x2)
+            x4 = self.b4(x3)
+            return self.c5(torch.cat([x1, x2, x3, x4], 1))
+
+    class Transition(nn.Module):
+        def __init__(self, p, s):
+            super().__init__()
+            self.c1 = ConvBlock(*sub(p, s, "conv1"))
+            self.c2 = ConvBlock(*sub(p, s, "conv2"))
+            self.c3 = ConvBlock(*sub(p, s, "conv3"), stride=2)
+
+        def forward(self, x):
+            x1 = self.c1(F.max_pool2d(x, 2, stride=2))
+            x2 = self.c3(self.c2(x))
+            return torch.cat([x2, x1], 1)
+
+    class SPPCSPC(nn.Module):
+        def __init__(self, p, s, ks=(5, 9, 13)):
+            super().__init__()
+            self.cv1 = ConvBlock(*sub(p, s, "cv1"))
+            self.cv3 = ConvBlock(*sub(p, s, "cv3"))
+            self.cv4 = ConvBlock(*sub(p, s, "cv4"))
+            self.ks = ks
+            self.cv5 = ConvBlock(*sub(p, s, "cv5"))
+            self.cv6 = ConvBlock(*sub(p, s, "cv6"))
+            self.cv2 = ConvBlock(*sub(p, s, "cv2"))
+            self.cv7 = ConvBlock(*sub(p, s, "cv7"))
+
+        def forward(self, x):
+            x1 = self.cv4(self.cv3(self.cv1(x)))
+            pools = [F.max_pool2d(x1, k, stride=1, padding=k // 2)
+                     for k in self.ks]
+            y1 = self.cv6(self.cv5(torch.cat([x1] + pools, 1)))
+            return self.cv7(torch.cat([y1, self.cv2(x)], 1))
+
+    class V7CSP(nn.Module):
+        def __init__(self, p, s, num_bottle):
+            super().__init__()
+            self.c1 = ConvBlock(*sub(p, s, "conv1"))
+            self.c2 = ConvBlock(*sub(p, s, "conv2"))
+            self.c3 = ConvBlock(*sub(p, s, "conv3"))
+            self.chain = nn.ModuleList(
+                [ConvBlock(*sub(p, s, f"conv4_{i}"))
+                 for i in range(num_bottle)])
+            self.c5 = ConvBlock(*sub(p, s, "conv5"))
+
+        def forward(self, x):
+            x1, x2 = self.c1(x), self.c2(x)
+            x3 = self.c3(x2)
+            parts = [x1, x2, x3]
+            for m in self.chain:
+                x3 = m(x3)
+                parts.append(x3)
+            return self.c5(torch.cat(parts, 1))
+
+    def v7_out_conv(p, s, name):
+        pn, sn = sub(p, s, name)
+        if "rbr_dense_conv" not in pn:
+            return ConvBlock(pn, sn)
+        kernel, bias = repconv_kernel_bias(pn, sn)
+        w = np.asarray(kernel).transpose(3, 2, 0, 1)
+        conv = nn.Conv2d(w.shape[1], w.shape[0], 3, padding=1)
+        with torch.no_grad():
+            conv.weight.copy_(_t(torch, w))
+            conv.bias.copy_(_t(torch, np.asarray(bias)))
+        return nn.Sequential(conv, nn.SiLU())
+
+    class V7Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            pb, sb = params["backbone"], stats.get("backbone", {})
+            depths = meta["backbone_depths"]
+            self.stem = nn.Sequential(
+                ConvBlock(*sub(pb, sb, "stem0")),
+                ConvBlock(*sub(pb, sb, "stem1"), stride=2),
+                ConvBlock(*sub(pb, sb, "stem2")))
+            self.stage1_down = ConvBlock(*sub(pb, sb, "stage1_down"),
+                                         stride=2)
+            self.stage1_elan = ELAN(*sub(pb, sb, "stage1_elan"), depths[0])
+            self.trans = nn.ModuleList(
+                [Transition(*sub(pb, sb, f"stage{i}_trans"))
+                 for i in (2, 3, 4)])
+            self.elans = nn.ModuleList(
+                [ELAN(*sub(pb, sb, f"stage{i}_elan"), depths[i - 1])
+                 for i in (2, 3, 4)])
+            self.spp = SPP(*sub(pb, sb, "stage4_spp"))
+            self.out_keys = list(meta["backbone_outputs"])
+
+            pn, sn = params["neck"], stats.get("neck", {})
+            nd = meta["neck_depths"][0]
+            self.nspp = SPPCSPC(*sub(pn, sn, "spp"))
+            self.conv_p5 = ConvBlock(*sub(pn, sn, "conv_for_P5"))
+            self.conv_c4 = ConvBlock(*sub(pn, sn, "conv_for_C4"))
+            self.p5p4 = V7CSP(*sub(pn, sn, "p5_p4"), nd)
+            self.conv_p4 = ConvBlock(*sub(pn, sn, "conv_for_P4"))
+            self.conv_c3 = ConvBlock(*sub(pn, sn, "conv_for_C3"))
+            self.p4p3 = V7CSP(*sub(pn, sn, "p4_p3"), nd)
+            self.down1 = Transition(*sub(pn, sn, "downsample_conv1"))
+            self.n3n4 = V7CSP(*sub(pn, sn, "n3_n4"), nd)
+            self.down2 = Transition(*sub(pn, sn, "downsample_conv2"))
+            self.n4n5 = V7CSP(*sub(pn, sn, "n4_n5"), nd)
+            self.outs = nn.ModuleList(
+                [v7_out_conv(pn, sn, f"n{k}_out") for k in (3, 4, 5)])
+
+            ph = params["head"]
+            self.convs = nn.ModuleList()
+            for k in range(3):
+                self.register_buffer(
+                    f"ia{k}", _t(torch, np.asarray(
+                        ph[f"ia{k}"]).transpose(0, 3, 1, 2)))
+                self.register_buffer(
+                    f"im{k}", _t(torch, np.asarray(
+                        ph[f"im{k}"]).transpose(0, 3, 1, 2)))
+                w = ph[f"conv{k}"]["kernel"].transpose(3, 2, 0, 1)
+                conv = nn.Conv2d(w.shape[1], w.shape[0], 1)
+                with torch.no_grad():
+                    conv.weight.copy_(_t(torch, w))
+                    conv.bias.copy_(_t(torch, ph[f"conv{k}"]["bias"]))
+                self.convs.append(conv)
+            self.strides = [float(s) for s in meta["strides"]]
+            self.na = int(meta.get("num_anchor", 3))
+            for k, lvl in enumerate(meta["anchors"]):
+                self.register_buffer(
+                    f"anc{k}", torch.tensor(lvl, dtype=torch.float32))
+
+        def forward(self, x):
+            x = self.stem(x)
+            feats = {"stem": x}
+            x = self.stage1_elan(self.stage1_down(x))
+            feats["stage1"] = x
+            for i in range(3):
+                x = self.trans[i](x)
+                if i == 2:
+                    x = self.spp(x)
+                x = self.elans[i](x)
+                feats[f"stage{i + 2}"] = x
+            c3, c4, c5 = [feats[k] for k in self.out_keys]
+
+            p5 = self.nspp(c5)
+            p4 = self.p5p4(torch.cat(
+                [F.interpolate(self.conv_p5(p5), scale_factor=2.0),
+                 self.conv_c4(c4)], 1))
+            p3 = self.p4p3(torch.cat(
+                [F.interpolate(self.conv_p4(p4), scale_factor=2.0),
+                 self.conv_c3(c3)], 1))
+            n4 = self.n3n4(torch.cat([self.down1(p3), p4], 1))
+            n5 = self.n4n5(torch.cat([self.down2(n4), p5], 1))
+            levels = [self.outs[0](p3), self.outs[1](n4), self.outs[2](n5)]
+
+            preds = []
+            for k, feat in enumerate(levels):
+                lvl = self.convs[k](feat + getattr(self, f"ia{k}")) \
+                    * getattr(self, f"im{k}")
+                bk, ck, hk, wk = lvl.shape
+                na, hw = self.na, hk * wk
+                flat = lvl.reshape(bk, na, ck // na, hw) \
+                    .permute(0, 1, 3, 2).reshape(bk, na * hw, ck // na)
+                flat = torch.sigmoid(flat)
+                gy, gx = torch.meshgrid(
+                    torch.arange(hk, dtype=torch.float32),
+                    torch.arange(wk, dtype=torch.float32), indexing="ij")
+                cell = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+                grid = cell.repeat(na, 1).unsqueeze(0)
+                anc = getattr(self, f"anc{k}") \
+                    .repeat_interleave(hw, dim=0).unsqueeze(0)
+                xy = (flat[..., :2] * 2.0 - 0.5 + grid) * self.strides[k]
+                wh = (flat[..., 2:4] * 2.0) ** 2 * anc
+                preds.append(torch.cat([xy, wh, flat[..., 4:]], -1))
+            p = torch.cat(preds, 1)
+            boxes = torch.cat([p[..., :2] - p[..., 2:4] / 2,
+                               p[..., :2] + p[..., 2:4] / 2], -1)
+            return torch.cat([boxes, p[..., 4:]], -1)
+
+    m = (V7Model() if meta.get("family", "yolox") == "yolov7" else Model())
     m.eval()
     return m
 

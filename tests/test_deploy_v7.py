@@ -67,15 +67,14 @@ def test_npz_numpy_parity_yolov7_repconv(tmp_path):
 
 def test_onnx_numpy_runtime_parity_yolov7(tmp_path):
     from pl_yolo_tpu.deploy.onnx_export import export_onnx
-    from pl_yolo_tpu.deploy.onnx_numpy_runtime import OnnxNumpySession
+    from pl_yolo_tpu.deploy.onnx_numpy_runtime import OnnxModel
 
     dev, _, (variables, model, img, out, meta) = _export_and_run(
         TINY_V7, tmp_path)
     params, stats, meta = ni.load_npz(out)
     model_bytes = export_onnx(params, stats, meta, batch=2, size=64)
-    sess = OnnxNumpySession(model_bytes)
-    (got,) = sess.run({"images": np.ascontiguousarray(
-        img.transpose(0, 3, 1, 2))}).values()
+    got = OnnxModel(model_bytes).run({"images": np.ascontiguousarray(
+        img.transpose(0, 3, 1, 2))})["predictions"]
     np.testing.assert_allclose(got, dev, rtol=1e-3, atol=1e-4)
 
 

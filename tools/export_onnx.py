@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Export a YOLOX-family model to ONNX (reference tools/export_onnx.py:20).
+"""Export a YOLOX- or YOLOv7-family model to ONNX (reference tools/export_onnx.py:20).
 
 No onnx/torch-exporter is importable in this environment, so the artifact
 is produced by the in-tree clean-room serializer
@@ -57,7 +57,13 @@ def main():
     from pl_yolo_tpu.models.detector import build_model
     from pl_yolo_tpu.utils.config import load_config
 
-    cfg = load_config(args.config)
+    cfg = dict(load_config(args.config))
+    # the exported artifact is fp32 weights/math, so the verify
+    # reference is the fp32 jax forward: a bf16 train-config forward
+    # differs by compute-dtype noise the anchor decode amplifies
+    # ((2*sig)^2*anchor), which is a property of the training dtype,
+    # not of the artifact (cf. tools/deploy_from_ckpt.py)
+    cfg["dtype"] = "float32"
     model = build_model(cfg, num_classes=args.num_classes)
     variables = model.init(jax.random.key(0),
                            input_size=(args.size, args.size))
@@ -96,7 +102,7 @@ def main():
             variables, jnp.asarray(img), False)), np.float32)
         got = OnnxModel(pathlib.Path(args.out).read_bytes()).run(
             {"images": img.transpose(0, 3, 1, 2)})["predictions"]
-        tol = 1e-2 if cfg.get("dtype") in ("bfloat16", "bf16") else 1e-4
+        tol = 1e-4
         err = float(np.max(np.abs(dev - got) / np.maximum(1.0, np.abs(dev))))
         print(f"max rel err jax-vs-onnx-file: {err:.3e} (tol {tol})")
         assert err <= tol, "ONNX artifact parity FAILED"
