@@ -450,9 +450,23 @@ def v7_eval_decode(outputs, strides, anchors):
 def forward(params, stats, images, meta):
     """Full eval forward: images NHWC float32 (0-255 pixel scale, matching
     the jax eval path) -> decoded [B, A, 5+C]. Dispatches on meta family
-    ('yolox' anchor-free | 'yolov7' anchor-based)."""
+    ('yolox' anchor-free | 'yolov7'/'yolov5' anchor-based)."""
     x = np.asarray(images, np.float32)
-    if meta.get("family", "yolox") == "yolov7":
+    family = meta.get("family", "yolox")
+    if family == "yolov5":
+        feats = backbone_forward(
+            params["backbone"], stats.get("backbone", {}), x,
+            depths=meta["backbone_depths"],
+            outputs=meta["backbone_outputs"],
+            depthwise=meta.get("backbone_depthwise", False))
+        feats = neck_forward(params["neck"], stats.get("neck", {}), feats,
+                             depths=meta["neck_depths"],
+                             depthwise=meta.get("neck_depthwise", False))
+        ph = params["head"]
+        outs = [conv2d(f, ph[f"conv{k}"]["kernel"], ph[f"conv{k}"]["bias"])
+                for k, f in enumerate(feats)]
+        return v7_eval_decode(outs, meta["strides"], meta["anchors"])
+    if family == "yolov7":
         feats = v7_backbone_forward(
             params["backbone"], stats.get("backbone", {}), x,
             depths=meta["backbone_depths"],

@@ -149,15 +149,12 @@ def _slice(g, x, start, end, axis):
         g.init("ax", np.array([axis], np.int64))])
 
 
-def _export_yolox(params, stats, meta, batch: int, size: int) -> bytes:
-    """YOLOX graph (cspdarknet + csppafpn + decoupled head + exp decode)."""
-    g = GraphBuilder()
-    num_classes = int(meta["num_classes"])
+def _yolox_trunk(g, params, stats, meta, batch: int, size: int):
+    """cspdarknet + csppafpn shared by the yolox and yolov5 exports:
+    returns [(n3, r3), (n4, r4), (n5, r5)] feature names + resolutions."""
     depths = meta["backbone_depths"]
-    strides = meta["strides"]
     dw_b = meta.get("backbone_depthwise", False)
     dw_n = meta.get("neck_depthwise", False)
-    dw_h = meta.get("head_depthwise", False)
 
     pb, sb = params["backbone"], stats.get("backbone", {})
     x = _s2d(g, "images", batch, 3, size, size)
@@ -195,6 +192,17 @@ def _export_yolox(params, stats, meta, batch: int, size: int) -> bytes:
     n4d = _dw_or_conv(g, pn, sn, "downsample_conv2", n4, 2, dw_n, ch_n4)
     n5 = g.add("Concat", [n4d, p5e], axis=1)
     n5 = _csp(g, *_sub(pn, sn, "n4_n5"), n5, None, nd, False, dw_n)
+    return [(n3, r3), (n4, r4), (n5, r5)]
+
+
+def _export_yolox(params, stats, meta, batch: int, size: int) -> bytes:
+    """YOLOX graph (cspdarknet + csppafpn + decoupled head + exp decode)."""
+    g = GraphBuilder()
+    num_classes = int(meta["num_classes"])
+    strides = meta["strides"]
+    dw_h = meta.get("head_depthwise", False)
+    trunk = _yolox_trunk(g, params, stats, meta, batch, size)
+    (n3, r3), (n4, r4), (n5, r5) = trunk
 
     ph, sh = params["head"], stats.get("head", {})
     level_preds = []
@@ -319,13 +327,8 @@ def _export_yolov7(params, stats, meta, batch: int, size: int) -> bytes:
     fused) + implicit head + anchor decode
     (models/losses/yolov7.py::yolov7_eval_decode)."""
     g = GraphBuilder()
-    num_classes = int(meta["num_classes"])
     depths = meta["backbone_depths"]
     neck_depth = meta["neck_depths"][0]
-    strides = meta["strides"]
-    anchors = meta["anchors"]
-    na = int(meta.get("num_anchor", len(anchors[0])))
-    ch = 5 + num_classes
 
     pb, sb = params["backbone"], stats.get("backbone", {})
     x = _conv_block(g, *_sub(pb, sb, "stem0"), "images")
@@ -367,7 +370,7 @@ def _export_yolov7(params, stats, meta, batch: int, size: int) -> bytes:
               for k, f in [(3, n3), (4, n4), (5, n5)]]
 
     ph = params["head"]
-    level_preds = []
+    head_outs = []
     for k, feat in enumerate(levels):
         ia = np.ascontiguousarray(
             np.asarray(ph[f"ia{k}"], np.float32).transpose(0, 3, 1, 2))
@@ -376,10 +379,26 @@ def _export_yolov7(params, stats, meta, batch: int, size: int) -> bytes:
                   act=None)
         im = np.ascontiguousarray(
             np.asarray(ph[f"im{k}"], np.float32).transpose(0, 3, 1, 2))
-        x = g.add("Mul", [x, g.init("im", im)])
+        head_outs.append(g.add("Mul", [x, g.init("im", im)]))
 
-        # decode this level (yolov7_eval_decode): [B, na*ch, h, w] ->
-        # [B, na*hw, ch] rows anchor-major then row-major, all sigmoid'ed
+    return _finish_anchor_graph(g, head_outs, meta, batch, size,
+                                "pl_yolo_tpu_yolov7")
+
+
+def _finish_anchor_graph(g, head_outs, meta, batch, size, name) -> bytes:
+    """Anchor decode (models/losses/yolov7.py::yolov7_eval_decode — the v5
+    decoder uses the same math) + graph wrap, shared by the yolov7 and
+    yolov5 exports. head_outs: per-level [B, na*(5+C), h, w] raw logits."""
+    num_classes = int(meta["num_classes"])
+    strides = meta["strides"]
+    anchors = meta["anchors"]
+    na = int(meta.get("num_anchor", len(anchors[0])))
+    ch = 5 + num_classes
+
+    level_preds = []
+    for k, x in enumerate(head_outs):
+        # [B, na*ch, h, w] -> [B, na*hw, ch] rows anchor-major then
+        # row-major, all sigmoid'ed
         h = w = size // strides[k]
         hw = h * w
         r1 = g.add("Reshape", [x, g.init("shape", np.array(
@@ -419,7 +438,7 @@ def _export_yolov7(params, stats, meta, batch: int, size: int) -> bytes:
 
     n_rows = sum(na * (size // s) ** 2 for s in strides)
     gr = ow.graph(
-        g.nodes, "pl_yolo_tpu_yolov7",
+        g.nodes, name,
         inputs=[ow.value_info("images", ow.FLOAT, [batch, 3, size, size])],
         outputs=[ow.value_info("predictions", ow.FLOAT,
                                [batch, n_rows, ch])],
@@ -427,9 +446,26 @@ def _export_yolov7(params, stats, meta, batch: int, size: int) -> bytes:
     return ow.model(gr, opset=13)
 
 
+def _export_yolov5(params, stats, meta, batch: int, size: int) -> bytes:
+    """YOLOv5 graph: the yolox trunk (cspdarknet + csppafpn) with the
+    plain 1x1 simple head and the shared anchor decode."""
+    g = GraphBuilder()
+    trunk = _yolox_trunk(g, params, stats, meta, batch, size)
+    ph = params["head"]
+    head_outs = [
+        _conv(g, feat, ph[f"conv{k}"]["kernel"], ph[f"conv{k}"]["bias"],
+              act=None)
+        for k, (feat, _) in enumerate(trunk)]
+    return _finish_anchor_graph(g, head_outs, meta, batch, size,
+                                "pl_yolo_tpu_yolov5")
+
+
 def export_onnx(params, stats, meta, batch: int, size: int) -> bytes:
     """Serialized ModelProto bytes for a [batch,3,size,size] input.
-    Dispatches on the npz meta family (yolox | yolov7)."""
-    if meta.get("family", "yolox") == "yolov7":
+    Dispatches on the npz meta family (yolox | yolov7 | yolov5)."""
+    family = meta.get("family", "yolox")
+    if family == "yolov7":
         return _export_yolov7(params, stats, meta, batch, size)
+    if family == "yolov5":
+        return _export_yolov5(params, stats, meta, batch, size)
     return _export_yolox(params, stats, meta, batch, size)

@@ -409,7 +409,99 @@ def build_torch_model(params, stats, meta):
                                p[..., :2] + p[..., 2:4] / 2], -1)
             return torch.cat([boxes, p[..., 4:]], -1)
 
-    m = (V7Model() if meta.get("family", "yolox") == "yolov7" else Model())
+    class V5Model(nn.Module):
+        """yolox trunk (s2d stem + cspdarknet + csppafpn) + plain 1x1
+        simple head + the same anchor decode as V7Model."""
+
+        def __init__(self):
+            super().__init__()
+            pb, sb = params["backbone"], stats.get("backbone", {})
+            depths = meta["backbone_depths"]
+            dw = meta.get("backbone_depthwise", False)
+            self.stem = ConvBlock(*sub(pb["stem"], sb["stem"], "conv"))
+            self.downs = nn.ModuleList(
+                [dw_or_conv(pb, sb, f"stage{i + 1}_down", 2, dw)
+                 for i in range(4)])
+            self.spp = SPP(*sub(pb, sb, "stage4_spp"))
+            self.csps = nn.ModuleList(
+                [CSP(*sub(pb, sb, f"stage{i + 1}_csp"), depths[i],
+                     i != 3, dw) for i in range(4)])
+            self.out_keys = list(meta["backbone_outputs"])
+
+            pn, sn = params["neck"], stats.get("neck", {})
+            nd = meta["neck_depths"][0]
+            dwn = meta.get("neck_depthwise", False)
+            self.shrink1 = ConvBlock(*sub(pn, sn, "shrink_conv1"))
+            self.p5p4 = CSP(*sub(pn, sn, "p5_p4"), nd, False, dwn)
+            self.shrink2 = ConvBlock(*sub(pn, sn, "shrink_conv2"))
+            self.p4p3 = CSP(*sub(pn, sn, "p4_p3"), nd, False, dwn)
+            self.down1 = dw_or_conv(pn, sn, "downsample_conv1", 2, dwn)
+            self.n3n4 = CSP(*sub(pn, sn, "n3_n4"), nd, False, dwn)
+            self.down2 = dw_or_conv(pn, sn, "downsample_conv2", 2, dwn)
+            self.n4n5 = CSP(*sub(pn, sn, "n4_n5"), nd, False, dwn)
+
+            ph = params["head"]
+            self.convs = nn.ModuleList()
+            for k in range(3):
+                w = ph[f"conv{k}"]["kernel"].transpose(3, 2, 0, 1)
+                conv = nn.Conv2d(w.shape[1], w.shape[0], 1)
+                with torch.no_grad():
+                    conv.weight.copy_(_t(torch, w))
+                    conv.bias.copy_(_t(torch, ph[f"conv{k}"]["bias"]))
+                self.convs.append(conv)
+            self.strides = [float(s) for s in meta["strides"]]
+            self.na = int(meta.get("num_anchor", 3))
+            for k, lvl in enumerate(meta["anchors"]):
+                self.register_buffer(
+                    f"anc{k}", torch.tensor(lvl, dtype=torch.float32))
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+            x = x.permute(0, 5, 3, 1, 2, 4).reshape(b, 4 * c, h // 2, w // 2)
+            x = self.stem(x)
+            feats = {"stem": x}
+            for i in range(4):
+                x = self.downs[i](x)
+                if i == 3:
+                    x = self.spp(x)
+                x = self.csps[i](x)
+                feats[f"stage{i + 1}"] = x
+            c3, c4, c5 = [feats[k] for k in self.out_keys]
+            p5e = self.shrink1(c5)
+            p4 = self.p5p4(torch.cat(
+                [F.interpolate(p5e, scale_factor=2.0), c4], 1))
+            p4e = self.shrink2(p4)
+            p3 = self.p4p3(torch.cat(
+                [F.interpolate(p4e, scale_factor=2.0), c3], 1))
+            n4 = self.n3n4(torch.cat([self.down1(p3), p4e], 1))
+            n5 = self.n4n5(torch.cat([self.down2(n4), p5e], 1))
+
+            preds = []
+            for k, feat in enumerate([p3, n4, n5]):
+                lvl = self.convs[k](feat)
+                bk, ck, hk, wk = lvl.shape
+                na, hw = self.na, hk * wk
+                flat = lvl.reshape(bk, na, ck // na, hw) \
+                    .permute(0, 1, 3, 2).reshape(bk, na * hw, ck // na)
+                flat = torch.sigmoid(flat)
+                gy, gx = torch.meshgrid(
+                    torch.arange(hk, dtype=torch.float32),
+                    torch.arange(wk, dtype=torch.float32), indexing="ij")
+                cell = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+                grid = cell.repeat(na, 1).unsqueeze(0)
+                anc = getattr(self, f"anc{k}") \
+                    .repeat_interleave(hw, dim=0).unsqueeze(0)
+                xy = (flat[..., :2] * 2.0 - 0.5 + grid) * self.strides[k]
+                wh = (flat[..., 2:4] * 2.0) ** 2 * anc
+                preds.append(torch.cat([xy, wh, flat[..., 4:]], -1))
+            p = torch.cat(preds, 1)
+            boxes = torch.cat([p[..., :2] - p[..., 2:4] / 2,
+                               p[..., :2] + p[..., 2:4] / 2], -1)
+            return torch.cat([boxes, p[..., 4:]], -1)
+
+    family = meta.get("family", "yolox")
+    m = {"yolov7": V7Model, "yolov5": V5Model}.get(family, Model)()
     m.eval()
     return m
 

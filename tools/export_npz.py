@@ -50,11 +50,14 @@ def export_npz(model_cfg: dict, variables: dict, out_path: str,
         family = "yolox"
     elif names == ("eelan", "yolov7neck", "implicit_head"):
         family = "yolov7"
+    elif names == ("cspdarknet", "csppafpn", "simple_head"):
+        family = "yolov5"
     else:
         raise SystemExit(
             "npz deploy covers the YOLOX family (cspdarknet + csppafpn + "
-            "decoupled_head) and the YOLOv7 family (eelan + yolov7neck + "
-            f"implicit_head); got {names}")
+            "decoupled_head), the YOLOv7 family (eelan + yolov7neck + "
+            "implicit_head), and the YOLOv5 family (cspdarknet + csppafpn "
+            f"+ simple_head); got {names}")
     meta = {
         "family": family,
         "num_classes": num_classes,
@@ -71,11 +74,13 @@ def export_npz(model_cfg: dict, variables: dict, out_path: str,
             "stride", [8, 16, 32])),
         "layout": "NHWC, kernels HWIO, pixels 0-255 float32",
     }
-    if family == "yolov7":
+    if family in ("yolov7", "yolov5"):
         from pl_yolo_tpu.models.detector import DEFAULT_V7_ANCHORS
+        from pl_yolo_tpu.models.losses.yolov5 import DEFAULT_V5_ANCHORS
+        default = (DEFAULT_V7_ANCHORS if family == "yolov7"
+                   else DEFAULT_V5_ANCHORS)
         meta["anchors"] = [[list(a) for a in lvl] for lvl in
-                           model_cfg["loss"].get("anchors",
-                                                 DEFAULT_V7_ANCHORS)]
+                           model_cfg["loss"].get("anchors", default)]
         meta["num_anchor"] = int(model_cfg["head"].get("num_anchor", 3))
     arrays = flatten(variables["params"], "params")
     arrays.update(flatten(variables.get("batch_stats", {}), "batch_stats"))
