@@ -72,6 +72,12 @@ def main():
     ap.add_argument("--floor", type=float, default=None,
                     help="override the calibrated floor (0.0 = calibration "
                          "run)")
+    ap.add_argument("--balance", choices=["reference", "ultralytics"],
+                    default=None,
+                    help="yolov7 per-level obj balance order: 'reference' "
+                         "(0.4,1,4 — 4.0 on stride-32, yolov7_loss.py:26) "
+                         "or 'ultralytics' (4,1,0.4 — 4.0 on stride-8, "
+                         "where small objects live); default = config")
     ap.add_argument("--autoanchor", action="store_true",
                     help="k-means the anchor priors from the gate set's GT "
                          "boxes (anchor-based models only): the shipped "
@@ -107,6 +113,13 @@ def main():
     # scale the upstream 300-epoch recipe's 15 no-aug epochs to the gate
     model_cfg.setdefault("schedule", {})
     model_cfg["schedule"]["no_aug_epochs"] = max(4, args.epochs // 5)
+
+    if args.balance:
+        if model_cfg["loss"]["name"] != "yolov7":
+            ap.error("--balance applies to the yolov7 loss")
+        model_cfg["loss"]["balance"] = (
+            [0.4, 1.0, 4.0] if args.balance == "reference"
+            else [4.0, 1.0, 0.4])
 
     if args.autoanchor:
         if "anchors" not in model_cfg.get("loss", {}):
@@ -149,6 +162,8 @@ def main():
     }
     if args.autoanchor:
         result["autoanchor"] = True
+    if args.balance:
+        result["balance"] = args.balance
     with open(repo / "GATE_RESULTS.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
     verdict = "PASS" if result["pass"] else "FAIL"
