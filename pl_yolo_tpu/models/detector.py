@@ -312,7 +312,9 @@ def _yolov7_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
             yolov7_loss, num_classes=num_classes, strides=strides,
             anchors=anchors,
             label_smoothing=float(cfg.get("label_smoothing", 0.0)),
-            balance=tuple(cfg.get("balance", (0.4, 1.0, 4.0)))),
+            # ultralytics order (4.0 on stride-8): the reference's
+            # (0.4,1,4) is a copy error — see yolov7_loss docstring
+            balance=tuple(cfg.get("balance", (4.0, 1.0, 0.4)))),
         eval_decode=functools.partial(
             yolov7_eval_decode, strides=strides, anchors=anchors,
             num_classes=num_classes),

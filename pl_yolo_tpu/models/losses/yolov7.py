@@ -225,15 +225,19 @@ def yolov7_loss(
              ((36, 75), (76, 55), (72, 146)),
              ((142, 110), (192, 243), (459, 401))),
     label_smoothing: float = 0.0,
-    balance: Sequence[float] = (0.4, 1.0, 4.0),
+    balance: Sequence[float] = (4.0, 1.0, 0.4),
 ) -> dict[str, jax.Array]:
     """Training loss (yolov7_loss.py:80-153), fully batched.
 
-    `balance` defaults to the reference's per-level obj weights
-    (yolov7_loss.py:26) which put 4.0 on the stride-32 level; upstream
-    ultralytics uses the REVERSE order (4.0 on stride-8, where small
-    objects live). Config key `loss: {balance: [...]}` exposes the choice;
-    the v5 loss ships the ultralytics order.
+    DELIBERATE DEVIATION: the reference hardcodes balance (0.4, 1.0, 4)
+    (yolov7_loss.py:26), which puts the 4.0 obj weight on the stride-32
+    level — the reverse of upstream ultralytics yolov7 ([4.0, 1.0, 0.4]
+    for P3,P4,P5), i.e. a copy error that down-weights small objects 10x.
+    Measured on the hard-shapes gate (160 px, 100 epochs, autoanchor):
+    reference order mAP 0.0432, ultralytics order 0.0685 (+59%) —
+    GATE_RESULTS.jsonl 2026-08-20. Default = ultralytics order; the
+    reference order stays selectable via `loss: {balance: [0.4, 1, 4]}`
+    (and the parity test vs the reference torch loss pins it explicitly).
     """
     box_ratio = 0.05
     obj_ratio = 1.0

@@ -119,8 +119,11 @@ def test_yolov7_loss_matches_reference(ref_losses, seed):
     ref_val = float(ref_loss)
     ref_grads = [t.grad.numpy().transpose(0, 2, 3, 1) for t in tin]
 
+    # pin the REFERENCE's balance order: our default deliberately fixes
+    # the reference's (0.4,1,4) copy error (yolov7.py docstring)
     jax_val, jax_grads = _jax_loss_and_grads(
-        lambda inp, lab: yolov7_loss(inp, lab, C, STRIDES, ANCHORS),
+        lambda inp, lab: yolov7_loss(inp, lab, C, STRIDES, ANCHORS,
+                                     balance=(0.4, 1.0, 4.0)),
         nhwc, labels)
 
     np.testing.assert_allclose(jax_val, ref_val, rtol=2e-4)

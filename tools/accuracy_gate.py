@@ -39,15 +39,16 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 # Floors = on-chip calibration (GATE_RESULTS.jsonl) minus margin:
 #   yolox_tiny : mAP 0.337 @100 epochs (2026-08-19, r4) -> floor 0.25
 #   yolov7_tiny: anchor-based OTA family gate (VERDICT r4 #1b). Calibrated
-#                0.043 (2026-08-19/20, with and without --autoanchor; the
-#                anchor-matched head carries little of this 160-px set's
-#                mAP — the loss itself is certified value+grad-identical
-#                to the reference by tests/test_loss_parity_ref.py, so the
-#                gap vs yolox_tiny is the family's recipe/capacity on this
-#                benchmark, which the reference shares) -> floor 0.03.
+#                0.043 with the reference balance order, 0.0685 with the
+#                now-default ultralytics order (2026-08-20 A/B, both
+#                --autoanchor; the loss math itself is certified
+#                value+grad-identical to the reference by
+#                tests/test_loss_parity_ref.py, so the remaining gap vs
+#                yolox_tiny is the family's recipe/capacity on this 160-px
+#                benchmark, which the reference shares) -> floor 0.05.
 #   yolov5_s   : v5-assigner family gate; calibrated 0.083 (2026-08-20,
 #                --autoanchor) -> floor 0.06. Same parity-test note.
-DEFAULT_FLOORS = {"yolox_tiny": 0.25, "yolov7_tiny": 0.03, "yolov5_s": 0.06}
+DEFAULT_FLOORS = {"yolox_tiny": 0.25, "yolov7_tiny": 0.05, "yolov5_s": 0.06}
 GATE_SIZE = 160
 GATE_SEED = 10
 
