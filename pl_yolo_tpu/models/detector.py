@@ -314,7 +314,8 @@ def _yolov7_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
             label_smoothing=float(cfg.get("label_smoothing", 0.0)),
             # ultralytics order (4.0 on stride-8): the reference's
             # (0.4,1,4) is a copy error — see yolov7_loss docstring
-            balance=tuple(cfg.get("balance", (4.0, 1.0, 0.4)))),
+            balance=tuple(cfg.get("balance", (4.0, 1.0, 0.4))),
+            gain=dict(cfg.get("gain", {}))),
         eval_decode=functools.partial(
             yolov7_eval_decode, strides=strides, anchors=anchors,
             num_classes=num_classes),
@@ -331,7 +332,8 @@ def _yolov5_loss_spec(cfg: dict, num_classes: int) -> LossSpec:
             yolov5_loss, num_classes=num_classes, strides=strides,
             anchors=anchors,
             anchor_threshold=float(cfg.get("anchor_thre", 4.0)),
-            balance=tuple(cfg.get("balance", (4.0, 1.0, 0.4)))),
+            balance=tuple(cfg.get("balance", (4.0, 1.0, 0.4))),
+            gain=dict(cfg.get("gain", {}))),
         eval_decode=functools.partial(
             yolov5_eval_decode, strides=strides, anchors=anchors,
             num_classes=num_classes),

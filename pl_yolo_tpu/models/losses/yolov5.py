@@ -39,9 +39,19 @@ def yolov5_loss(
     anchors=DEFAULT_V5_ANCHORS,
     anchor_threshold: float = 4.0,
     balance: Sequence[float] = (4.0, 1.0, 0.4),
+    gain: dict | None = None,
 ) -> dict[str, jax.Array]:
-    """Training loss (yolov5_loss.py:25-147), fully batched fixed-shape."""
-    lambda_box, lambda_obj, lambda_cls = 0.05, 1.0, 0.0375
+    """Training loss (yolov5_loss.py:25-147), fully batched fixed-shape.
+
+    `gain` optionally overrides the top-level weights (keys box/obj/cls;
+    reference values kept when absent — the reference hardcodes them for
+    640-px COCO at yolov5_loss.py:21-23). Upstream ultralytics scales
+    obj by (imgsz/640)^2 at train time; see yolov7.py::yolov7_loss.
+    """
+    gain = gain or {}
+    lambda_box = float(gain.get("box", 0.05))
+    lambda_obj = float(gain.get("obj", 1.0))
+    lambda_cls = float(gain.get("cls", 0.0375))
 
     shapes = tuple((o.shape[1], o.shape[2]) for o in outputs)
     d = flatten_v7_outputs(outputs, strides, anchors, num_classes)

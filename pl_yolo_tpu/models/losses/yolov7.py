@@ -226,6 +226,7 @@ def yolov7_loss(
              ((142, 110), (192, 243), (459, 401))),
     label_smoothing: float = 0.0,
     balance: Sequence[float] = (4.0, 1.0, 0.4),
+    gain: dict | None = None,
 ) -> dict[str, jax.Array]:
     """Training loss (yolov7_loss.py:80-153), fully batched.
 
@@ -238,10 +239,22 @@ def yolov7_loss(
     GATE_RESULTS.jsonl 2026-08-20. Default = ultralytics order; the
     reference order stays selectable via `loss: {balance: [0.4, 1, 4]}`
     (and the parity test vs the reference torch loss pins it explicitly).
+
+    `gain` optionally overrides the top-level loss weights (keys box/obj/
+    cls; missing keys keep the reference values above). The reference
+    hardcodes obj=1.0 for 640-px COCO; upstream ultralytics scales it by
+    (imgsz/640)^2 at train time (yolov5 train.py `hyp['obj'] *=
+    (imgsz/640)**2`). MEASURED NEGATIVE at the 160-px gate: obj=0.0625
+    collapses held-out mAP 0.0685 -> 0.0021 at 100 epochs (obj is the
+    detection-confidence signal; downweighting it 16x leaves objectness
+    untrained) — GATE_RESULTS.jsonl 2026-08-20. The 640-COCO gain set
+    stands as the default at every scale; `gain:` remains available for
+    recipe experiments (tools/accuracy_gate.py --scale-gains A/Bs it).
     """
-    box_ratio = 0.05
-    obj_ratio = 1.0
-    cls_ratio = 0.5 * (num_classes / 80.0)
+    gain = gain or {}
+    box_ratio = float(gain.get("box", 0.05))
+    obj_ratio = float(gain.get("obj", 1.0))
+    cls_ratio = float(gain.get("cls", 0.5 * (num_classes / 80.0)))
     cp = 1.0 - 0.5 * label_smoothing
     cn = 0.5 * label_smoothing
 

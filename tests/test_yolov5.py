@@ -118,3 +118,26 @@ def test_v5_train_step_decreases_loss_overfit():
     # measured: 7.84 -> 0.78 in 30 steps; 0.3x is a strong-but-safe bar
     assert last < first * 0.3, (first, last)
     assert float(losses["loss_iou"]) < 0.2
+
+
+def test_v5_loss_gain_override():
+    """`gain:` rescales lambda_box/obj/cls; defaults keep the reference's
+    hardcoded values (yolov5_loss.py:21-23)."""
+    from pl_yolo_tpu.models.losses.yolov5 import yolov5_loss
+    rng = np.random.default_rng(7)
+    levels = [
+        jnp.asarray(rng.normal(0, 0.1, (2, 16, 16, 3 * 11)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (2, 8, 8, 3 * 11)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (2, 4, 4, 3 * 11)).astype(np.float32)),
+    ]
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[0, 0] = [2, 64, 64, 40, 48]
+    base = yolov5_loss(levels, jnp.asarray(labels), num_classes=6)
+    scaled = yolov5_loss(levels, jnp.asarray(labels), num_classes=6,
+                         gain={"obj": 0.0625, "cls": 0.075})
+    np.testing.assert_allclose(float(scaled["loss_obj"]),
+                               float(base["loss_obj"]) * 0.0625, rtol=1e-6)
+    np.testing.assert_allclose(float(scaled["loss_cls"]),
+                               float(base["loss_cls"]) * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(float(scaled["loss_iou"]),
+                               float(base["loss_iou"]), rtol=1e-6)

@@ -243,3 +243,21 @@ def test_v7_train_step_decreases_loss_overfit():
     # measured: 3.82 -> 0.31 in 30 steps; 0.3x is a strong-but-safe bar
     assert last < first * 0.3, (first, last)
     assert float(losses["loss_iou"]) < 0.2  # boxes actually regress to gt
+
+
+def test_v7_loss_gain_override(rng):
+    """`gain:` rescales the top-level weights; defaults match the
+    reference's hardcoded 640-COCO values (yolov7_loss.py:26-29)."""
+    levels = _rand_levels(rng)
+    labels = np.zeros((2, 10, 5), np.float32)
+    labels[0, 0] = [2, 64, 64, 40, 48]
+    base = yolov7_loss(levels, jnp.asarray(labels), num_classes=7)
+    scaled = yolov7_loss(levels, jnp.asarray(labels), num_classes=7,
+                         gain={"obj": 0.0625, "box": 0.1})
+    np.testing.assert_allclose(float(scaled["loss_obj"]),
+                               float(base["loss_obj"]) * 0.0625, rtol=1e-6)
+    np.testing.assert_allclose(float(scaled["loss_iou"]),
+                               float(base["loss_iou"]) * 2.0, rtol=1e-6)
+    # cls default derives from num_classes (0.5 * 7/80) and is overridable
+    np.testing.assert_allclose(float(scaled["loss_cls"]),
+                               float(base["loss_cls"]), rtol=1e-6)

@@ -79,6 +79,14 @@ def main():
                          "(0.4,1,4 — 4.0 on stride-32, yolov7_loss.py:26) "
                          "or 'ultralytics' (4,1,0.4 — 4.0 on stride-8, "
                          "where small objects live); default = config")
+    ap.add_argument("--scale-gains", action="store_true",
+                    help="anchor-based models: A/B the upstream "
+                         "ultralytics train-time loss-gain scaling "
+                         "(obj *= (size/640)^2, cls *= nc/80). MEASURED "
+                         "NEGATIVE at this gate: yolov7_tiny 0.0685 -> "
+                         "0.0021 mAP (2026-08-20) — the 1/16 obj weight "
+                         "leaves the confidence signal untrained at 100 "
+                         "epochs; kept as an experiment flag only")
     ap.add_argument("--autoanchor", action="store_true",
                     help="k-means the anchor priors from the gate set's GT "
                          "boxes (anchor-based models only): the shipped "
@@ -122,6 +130,15 @@ def main():
             [0.4, 1.0, 4.0] if args.balance == "reference"
             else [4.0, 1.0, 0.4])
 
+    if args.scale_gains:
+        if "anchors" not in model_cfg.get("loss", {}):
+            ap.error(f"--scale-gains: {args.model} is anchor-free")
+        nc = 6  # shapes_hard classes; cls = 0.5*nc/80 is already the default
+        gain = {"obj": (GATE_SIZE / 640.0) ** 2,
+                "cls": 0.5 * nc / 80.0}
+        model_cfg["loss"]["gain"] = gain
+        print(f"scale-gains: {gain}")
+
     if args.autoanchor:
         if "anchors" not in model_cfg.get("loss", {}):
             ap.error(f"--autoanchor: {args.model} is anchor-free")
@@ -163,6 +180,8 @@ def main():
     }
     if args.autoanchor:
         result["autoanchor"] = True
+    if args.scale_gains:
+        result["scale_gains"] = True
     if args.balance:
         result["balance"] = args.balance
     with open(repo / "GATE_RESULTS.jsonl", "a") as f:
