@@ -20,7 +20,12 @@ bit-deterministic across recompiles); a real assigner/augment regression
 costs far more than the margin (the r2 'ij'-grid bug was worth ~20 mAP
 points on this set).
 
-Usage: python tools/accuracy_gate.py [--epochs 100] [--floor F]
+The gate is family-parametric (--model yolox_tiny|yolov7_tiny|yolov5_s);
+the anchor-based families run a 200-epoch recipe by default (they converge
+~2x slower than SimOTA here — measured curves in DEFAULT_FLOORS' comment)
+with --autoanchor recommended at this 160-px size.
+
+Usage: python tools/accuracy_gate.py [--model M] [--epochs N] [--floor F]
 Exit code 0 = PASS (mAP >= floor), 1 = FAIL. Appends a JSON line to
 GATE_RESULTS.jsonl either way.
 """
@@ -36,19 +41,20 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-# Floors = on-chip calibration (GATE_RESULTS.jsonl) minus margin:
+# Per-model (floor, default epochs) = on-chip calibration
+# (GATE_RESULTS.jsonl) minus margin. The anchor-based family converges
+# ~2x slower than SimOTA on this benchmark but reaches comparable
+# accuracy — the 2026-08-20 convergence curves (--autoanchor, ultralytics
+# balance): yolov7_tiny 0.046@50ep -> 0.113@100 -> 0.131@150 -> 0.141@200;
+# yolov5_s 0.119@50 -> 0.218@100 -> 0.260@150 -> 0.290@200 (vs yolox_tiny
+# 0.337@100). So the anchor gates run 200 epochs by default; the loss math
+# is certified value+grad-identical to the reference torch implementations
+# by tests/test_loss_parity_ref.py.
 #   yolox_tiny : mAP 0.337 @100 epochs (2026-08-19, r4) -> floor 0.25
-#   yolov7_tiny: anchor-based OTA family gate (VERDICT r4 #1b). Calibrated
-#                0.043 with the reference balance order, 0.0685 with the
-#                now-default ultralytics order (2026-08-20 A/B, both
-#                --autoanchor; the loss math itself is certified
-#                value+grad-identical to the reference by
-#                tests/test_loss_parity_ref.py, so the remaining gap vs
-#                yolox_tiny is the family's recipe/capacity on this 160-px
-#                benchmark, which the reference shares) -> floor 0.05.
-#   yolov5_s   : v5-assigner family gate; calibrated 0.083 (2026-08-20,
-#                --autoanchor) -> floor 0.06. Same parity-test note.
-DEFAULT_FLOORS = {"yolox_tiny": 0.25, "yolov7_tiny": 0.05, "yolov5_s": 0.06}
+#   yolov7_tiny: mAP 0.141 @200 epochs -> floor 0.10
+#   yolov5_s   : mAP 0.290 @200 epochs -> floor 0.22
+DEFAULT_FLOORS = {"yolox_tiny": (0.25, 100), "yolov7_tiny": (0.10, 200),
+                  "yolov5_s": (0.22, 200)}
 GATE_SIZE = 160
 GATE_SEED = 10
 
@@ -65,7 +71,10 @@ def ensure_dataset(root: pathlib.Path) -> None:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="default = the model's calibrated recipe length "
+                         "(100 for yolox_tiny, 200 for the slower-"
+                         "converging anchor family)")
     ap.add_argument("--model", default="yolox_tiny",
                     choices=sorted(DEFAULT_FLOORS),
                     help="which family to gate (yolov7_tiny gates the "
@@ -96,10 +105,12 @@ def main():
         "~/.cache/pl_yolo_tpu_gate/shapes_hard_160"))
     ap.add_argument("--out", default="/tmp/accuracy_gate_run")
     args = ap.parse_args()
+    floor, default_epochs = DEFAULT_FLOORS[args.model]
+    if args.epochs is None:
+        args.epochs = default_epochs
     if args.floor is None:
         env = os.environ.get("GATE_FLOOR")
-        args.floor = (float(env) if env is not None
-                      else DEFAULT_FLOORS[args.model])
+        args.floor = float(env) if env is not None else floor
 
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
     ensure_dataset(pathlib.Path(args.root))
